@@ -1,0 +1,72 @@
+"""Multi-head self-attention with RoPE and learned bias-KV token.
+
+Functional rebuild of the reference's fairseq-derived MHA
+(src/mdgen/model/mha.py:60-407), batch-first and einsum-based so XLA maps the
+contraction onto the MXU. Semantics preserved for checkpoint parity:
+
+- q scaled by head_dim**-0.5 before RoPE (mha.py:263);
+- learned bias_k / bias_v appended as one extra KV position at the sequence
+  end, always attendable (mha.py:117-121, 265-280);
+- RoPE applied after the bias append, so the bias token carries position N
+  (mha.py:356-357);
+- key-padding positions masked to -inf before a f32 softmax.
+
+The (B*T, L) / (B*L, T) factorized batching of the denoiser keeps sequence
+lengths modest (4-1000), so a dense masked softmax-attention is the right
+baseline on TPU; a Pallas flash kernel plugs in behind the same interface for
+long-T configs (see ops/flash_attention.py).
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .layers import default_init, dense, zero_init
+from .rope import apply_rope
+
+_NEG_INF = -1e9
+
+
+class MultiheadAttention(nn.Module):
+    embed_dim: int
+    num_heads: int
+    use_rope: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
+        """x: (B, N, C); mask: (B, N) with 1 = valid. Returns (B, N, C)."""
+        B, N, C = x.shape
+        H = self.num_heads
+        D = C // H
+
+        q = dense(C, name="q_proj", dtype=self.dtype)(x) * (D**-0.5)
+        k = dense(C, name="k_proj", dtype=self.dtype)(x)
+        v = dense(C, name="v_proj", dtype=self.dtype)(x)
+
+        # xavier_normal on a (1, 1, C) tensor => std = sqrt(2 / (1 + C))
+        bias_std = (2.0 / (1 + C)) ** 0.5
+        bias_k = self.param("bias_k", nn.initializers.normal(bias_std), (1, 1, C))
+        bias_v = self.param("bias_v", nn.initializers.normal(bias_std), (1, 1, C))
+        k = jnp.concatenate([k, jnp.broadcast_to(bias_k.astype(k.dtype), (B, 1, C))], axis=1)
+        v = jnp.concatenate([v, jnp.broadcast_to(bias_v.astype(v.dtype), (B, 1, C))], axis=1)
+
+        def split_heads(t):
+            return t.reshape(t.shape[0], t.shape[1], H, D).transpose(0, 2, 1, 3)
+
+        q, k, v = split_heads(q), split_heads(k), split_heads(v)
+        if self.use_rope:
+            q, k = apply_rope(q, k)
+
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+        if mask is not None:
+            key_valid = jnp.concatenate(
+                [mask.astype(bool), jnp.ones((B, 1), dtype=bool)], axis=1
+            )  # bias token always valid
+            logits = jnp.where(key_valid[:, None, None, :], logits, _NEG_INF)
+        attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+        return dense(C, name="out_proj", dtype=self.dtype)(out)
