@@ -1,0 +1,139 @@
+"""Generative sampling + autoregressive rollout, fully on-device.
+
+Rebuilds NewMDGenWrapper.inference / sample_prior_latent
+(src/mdgen/wrapper.py:416-514) and the sim_inference rollout loop
+(src/sim_inference.py:62-112). The ODE solve, latent decode, torsion
+normalization, and all-atom reconstruction compile into one jitted function
+per config; the autoregressive rollout feeds the last generated frame back
+through the on-device tokenizer (the reference does this on the CPU,
+src/sim_inference.py:90-96).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MDGenConfig
+from ..data.featurize import featurize_atom14_batch
+from ..geometry import frames as G
+from ..geometry.rigid import Rigid
+from ..models import LatentMDGen
+from ..tasks import prep_batch
+from ..transport import create_transport
+from ..transport.samplers import sample_ode
+
+
+def sample_prior_latent(
+    key: jax.Array, B: int, T: int, L: int, latent_dim: int, design: bool = False, uniform: bool = False
+) -> jnp.ndarray:
+    """Prior draw (src/mdgen/wrapper.py:416-434): Gaussian or U[-3, 3], with a
+    frame-constant Dirichlet simplex part for design."""
+    k1, k2 = jax.random.split(key)
+    if design:
+        cont_dim = latent_dim - 20
+        if uniform:
+            zc = jax.random.uniform(k1, (B, T, L, cont_dim), minval=-3.0, maxval=3.0)
+        else:
+            zc = jax.random.normal(k1, (B, T, L, cont_dim))
+        zd = jax.random.dirichlet(k2, jnp.ones(20), (B, L))
+        zd = jnp.broadcast_to(zd[:, None], (B, T, L, 20))
+        return jnp.concatenate([zc, zd], axis=-1)
+    if uniform:
+        return jax.random.uniform(k1, (B, T, L, latent_dim), minval=-3.0, maxval=3.0)
+    return jax.random.normal(k1, (B, T, L, latent_dim))
+
+
+class InferenceEngine:
+    def __init__(self, cfg: MDGenConfig, params, dtype=None):
+        self.cfg = cfg
+        self.params = params
+        dtype = dtype if dtype is not None else (jnp.bfloat16 if cfg.model.use_bf16 else jnp.float32)
+        self.model = LatentMDGen(cfg, cfg.latent_dim, dtype=dtype)
+        self.transport = create_transport(cfg)
+        self._sample_jit = jax.jit(self._sample)
+        self._rollout_step_jit = jax.jit(self._rollout_step)
+
+    # ------------------------------------------------------------------
+    def _decode(self, samples, rigids, seqres):
+        """Latents -> (atom14, aa_out) (src/mdgen/wrapper.py:487-514)."""
+        cfg = self.cfg
+        B, T, L, _ = samples.shape
+        offsets = samples[..., :7]
+        if cfg.doubled_offsets:
+            torsions = samples[..., 14:28]
+        else:
+            torsions = samples[..., 7:21]
+        logits = samples[..., -20:]
+
+        rel = Rigid.from_tensor_7(offsets, normalize_quats=True)
+        if cfg.task.no_offsets:
+            frames = rel
+        else:
+            frames = rigids[:, 0:1].compose(rel)
+        torsions = torsions.reshape(B, T, L, 7, 2)
+        torsions = torsions / jnp.linalg.norm(torsions, axis=-1, keepdims=True)
+        aat = jnp.broadcast_to(seqres[:, None], (B, T, L))
+        atom14 = G.frames_torsions_to_atom14(frames, torsions, aat)
+        aa_out = jnp.argmax(logits, -1) if cfg.task.design else aat
+        return atom14, aa_out
+
+    def _sample(self, params, batch, key):
+        """Featurized batch -> generated (atom14, aa_out)."""
+        cfg = self.cfg
+        prep = prep_batch(cfg, batch)
+        kw = prep["model_kwargs"]
+        B, T, L = kw["mask"].shape
+
+        zs = sample_prior_latent(key, B, T, L, cfg.latent_dim, design=cfg.task.design)
+
+        def model_fn(x, t, **extra):
+            return self.model.apply(params, x, t, method=self.model.forward_inference, **kw)
+
+        drift = self.transport.drift_fn(model_fn)
+        t0, t1 = self.transport.check_interval(eval=True)
+        samples = sample_ode(
+            drift,
+            zs,
+            t0=t0,
+            t1=t1,
+            method=cfg.transport.sampling_method,
+            num_steps=cfg.transport.inference_steps,
+        )
+        return self._decode(samples, prep.get("rigids"), batch["seqres"])
+
+    def sample(self, batch: dict, key) -> tuple:
+        """batch: featurized dict (torsions/rots/trans/seqres/mask...)."""
+        return self._sample_jit(self.params, batch, key)
+
+    # ------------------------------------------------------------------
+    def _expand_frame0(self, atom14_frame0, seqres, mask):
+        """One conditioning frame -> a full-window featurized batch
+        (src/sim_inference.py:62-80: every frame copies frame 0)."""
+        T = self.cfg.data.num_frames
+        B, L = seqres.shape
+        atom14 = jnp.broadcast_to(atom14_frame0[:, None], (B, T, L, 14, 3))
+        return featurize_atom14_batch(atom14, seqres, mask)
+
+    def _rollout_step(self, params, atom14_frame0, seqres, mask, key):
+        batch = self._expand_frame0(atom14_frame0, seqres, mask)
+        atom14, aa_out = self._sample(params, batch, key)
+        return atom14, atom14[:, -1]
+
+    def rollout(self, atom14_frame0, seqres, mask, num_rollouts: int, key) -> np.ndarray:
+        """Autoregressive forward simulation (src/sim_inference.py:105-112).
+
+        Returns atom14 (B, num_rollouts * num_frames, L, 14, 3) on host.
+        """
+        chunks = []
+        cur = jnp.asarray(atom14_frame0)
+        seqres = jnp.asarray(seqres)
+        mask = jnp.asarray(mask)
+        for _ in range(num_rollouts):
+            key, k = jax.random.split(key)
+            atom14, cur = self._rollout_step_jit(self.params, cur, seqres, mask, k)
+            chunks.append(np.asarray(atom14))
+        return np.concatenate(chunks, axis=1)
