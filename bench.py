@@ -1,0 +1,80 @@
+"""Benchmark: denoiser throughput at the 4AA crop-4 config on one TPU chip.
+
+Measures batched forward passes of the flagship denoiser (5 layers, embed 384,
+16 heads, prepend-IPA — reference model scale, src/mdgen/parsing.py:86-93) at
+crop 4 x 100 frames in bf16, and reports denoiser steps/sec/chip where one
+step = one trajectory sample denoised once (batch counts as B steps, as in
+batched ODE sampling). Baseline target: 10,000 steps/sec/chip (BASELINE.md).
+
+Prints exactly ONE JSON line.
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mdgen_finetune_tpu.config import DataConfig, MDGenConfig, ModelConfig, TaskConfig
+from mdgen_finetune_tpu.geometry.rigid import Rigid
+from mdgen_finetune_tpu.models import LatentMDGen
+
+BASELINE = 10_000.0
+
+
+def main():
+    B, T, L = 32, 100, 4
+    cfg = MDGenConfig(
+        model=ModelConfig(prepend_ipa=True, abs_pos_emb=True, use_bf16=True),
+        data=DataConfig(num_frames=T, crop=L),
+        task=TaskConfig(sim_condition=True),
+    )
+    model = LatentMDGen(cfg, cfg.latent_dim, dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, T, L, cfg.latent_dim)), jnp.float32)
+    t = jnp.asarray(rng.uniform(0.1, 0.9, size=(B,)), jnp.float32)
+    mask = jnp.ones((B, T, L), jnp.float32)
+    frames = Rigid.identity((B, L))
+    aatype = jnp.asarray(rng.integers(0, 20, size=(B, L)), jnp.int32)
+    x_cond = jnp.zeros_like(x)
+    x_cond_mask = jnp.zeros((B, T, L), jnp.int32)
+
+    params = jax.jit(model.init)(
+        jax.random.key(0), x, t, mask, start_frames=frames, end_frames=frames,
+        x_cond=x_cond, x_cond_mask=x_cond_mask, aatype=aatype,
+    )
+
+    @jax.jit
+    def fwd(params, x, t):
+        return model.apply(
+            params, x, t, mask, start_frames=frames, end_frames=frames,
+            x_cond=x_cond, x_cond_mask=x_cond_mask, aatype=aatype,
+        )
+
+    out = fwd(params, x, t)
+    out.block_until_ready()  # compile
+
+    # timed region: enough calls for stable measurement
+    n_calls = 30
+    start = time.perf_counter()
+    for i in range(n_calls):
+        out = fwd(params, x, t)
+    out.block_until_ready()
+    elapsed = time.perf_counter() - start
+
+    steps_per_sec = B * n_calls / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "denoiser steps/sec/chip (4AA crop-4, T=100, bf16, B=32)",
+                "value": round(steps_per_sec, 1),
+                "unit": "steps/sec/chip",
+                "vs_baseline": round(steps_per_sec / BASELINE, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+"""Training CLI, flag-compatible with the reference's train.py.
+
+Usage (same commands as reference README.md:50-65, module path swapped):
+    python -m mdgen_finetune_tpu.cli.train --sim_condition --train_split ... \
+        --data_dir ... --num_frames 1000 --prepend_ipa --abs_pos_emb --crop 4 ...
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import numpy as np
+
+from ..data import MDGenDataset, make_batch_iterator
+from ..training import Trainer
+from .args import add_train_args, args_to_config
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    add_train_args(parser)
+    parser.add_argument("--steps_per_epoch", type=int, default=None)
+    a = parser.parse_args(argv)
+    cfg = args_to_config(a)
+
+    workdir = os.path.join(cfg.workdir, cfg.run_name)
+    os.makedirs(workdir, exist_ok=True)
+    with open(os.path.join(workdir, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+
+    trainer = Trainer(cfg)
+    train_ds = MDGenDataset(cfg, cfg.data.train_split)
+    val_ds = MDGenDataset(cfg, cfg.data.val_split)
+    it = make_batch_iterator(train_ds, cfg.train.batch_size, seed=cfg.train.seed)
+
+    state = trainer.init_state(jax.random.key(cfg.train.seed), next(it))
+    if a.ckpt:
+        state = trainer.restore_checkpoint(a.ckpt, state)
+        print(f"resumed from {a.ckpt} at step {int(state.step)}")
+
+    steps_per_epoch = a.steps_per_epoch or max(len(train_ds) // cfg.train.batch_size, 1)
+    log_path = os.path.join(workdir, "log.jsonl")
+    rng = jax.random.key(cfg.train.seed + 1)
+
+    def log_fn(m):
+        print(json.dumps(m), flush=True)
+        with open(log_path, "a") as f:
+            f.write(json.dumps(m) + "\n")
+
+    val_step = jax.jit(lambda params, batch, key: trainer._loss_fn(params, key, batch)[1])
+
+    for epoch in range(cfg.train.epochs):
+        rng, sub = jax.random.split(rng)
+        state = trainer.fit(state, it, steps_per_epoch, sub, log_every=cfg.train.print_freq, log_fn=log_fn)
+
+        if not a.no_validate and (epoch + 1) % a.val_epoch_freq == 0:
+            vrng = np.random.default_rng(0)
+            vmetrics = []
+            for _ in range(a.val_batches or max(len(val_ds) // cfg.train.batch_size, 1)):
+                batch = val_ds.batch(vrng, cfg.train.batch_size)
+                from ..parallel.mesh import shard_batch
+
+                rng, key = jax.random.split(rng)
+                params = state.ema_params if cfg.train.ema else state.params
+                vmetrics.append(val_step(params, shard_batch(trainer.mesh, batch), key))
+            mean = {f"val_{k}": float(np.mean([float(m[k]) for m in vmetrics])) for k in vmetrics[0]}
+            mean.update(epoch=epoch, step=int(state.step))
+            log_fn(mean)
+
+        if (epoch + 1) % cfg.train.ckpt_freq == 0 or epoch == cfg.train.epochs - 1:
+            path = trainer.save_checkpoint(state)
+            print(f"saved {path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -9,15 +9,17 @@ from __future__ import annotations
 import functools
 
 import jax.numpy as jnp
+import numpy as np
 
 
 @functools.lru_cache(maxsize=64)
 def _tables(seq_len: int, dim: int):
-    inv_freq = 1.0 / (10000 ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim))
-    t = jnp.arange(seq_len, dtype=jnp.float32)
-    freqs = jnp.einsum("i,j->ij", t, inv_freq)
-    emb = jnp.concatenate([freqs, freqs], axis=-1)
-    return jnp.cos(emb), jnp.sin(emb)
+    # pure numpy so the cached values are jit-trace-safe constants
+    inv_freq = 1.0 / (10000 ** (np.arange(0, dim, 2, dtype=np.float32) / dim))
+    t = np.arange(seq_len, dtype=np.float32)
+    freqs = np.einsum("i,j->ij", t, inv_freq)
+    emb = np.concatenate([freqs, freqs], axis=-1)
+    return np.cos(emb), np.sin(emb)
 
 
 def _rotate_half(x):
@@ -31,9 +33,9 @@ def apply_rope(q: jnp.ndarray, k: jnp.ndarray):
     Tables are sized to N_k (the reference computes them from k then truncates
     for q), so an appended bias-KV token sits at position N_q.
     """
-    cos, sin = _tables(k.shape[-2], k.shape[-1])
-    cos = cos.astype(q.dtype)
-    sin = sin.astype(q.dtype)
+    cos_np, sin_np = _tables(k.shape[-2], k.shape[-1])
+    cos = jnp.asarray(cos_np, dtype=q.dtype)
+    sin = jnp.asarray(sin_np, dtype=q.dtype)
 
     def rot(x):
         c = cos[: x.shape[-2]]
