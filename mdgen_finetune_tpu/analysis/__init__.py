@@ -1,0 +1,23 @@
+from .featurize import featurize_trajectory, feature_labels
+from .tica import TICA
+from .cluster import KMeans
+from .msm import MarkovStateModel, pcca_plus, sample_tp, get_tp_likelihood, get_state_probs
+from .metrics import acovf, torsion_jsd, decorrelation, tica_jsd
+from .pipeline import analyze_sim
+
+__all__ = [
+    "featurize_trajectory",
+    "feature_labels",
+    "TICA",
+    "KMeans",
+    "MarkovStateModel",
+    "pcca_plus",
+    "sample_tp",
+    "get_tp_likelihood",
+    "get_state_probs",
+    "acovf",
+    "torsion_jsd",
+    "decorrelation",
+    "tica_jsd",
+    "analyze_sim",
+]
