@@ -4,6 +4,7 @@ from .cluster import KMeans
 from .msm import MarkovStateModel, pcca_plus, sample_tp, get_tp_likelihood, get_state_probs
 from .metrics import acovf, torsion_jsd, decorrelation, tica_jsd
 from .pipeline import analyze_sim
+from .task_metrics import analyze_tps_ensemble, analyze_upsampling, sequence_recovery
 
 __all__ = [
     "featurize_trajectory",
@@ -20,4 +21,7 @@ __all__ = [
     "decorrelation",
     "tica_jsd",
     "analyze_sim",
+    "analyze_tps_ensemble",
+    "analyze_upsampling",
+    "sequence_recovery",
 ]
