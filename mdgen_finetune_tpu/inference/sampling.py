@@ -81,14 +81,17 @@ class InferenceEngine:
         aa_out = jnp.argmax(logits, -1) if cfg.task.design else aat
         return atom14, aa_out
 
-    def _sample(self, params, batch, key):
+    def _sample(self, params, batch, key, zs0=None):
         """Featurized batch -> generated (atom14, aa_out)."""
         cfg = self.cfg
         prep = prep_batch(cfg, batch)
         kw = prep["model_kwargs"]
         B, T, L = kw["mask"].shape
 
-        zs = sample_prior_latent(key, B, T, L, cfg.latent_dim, design=cfg.task.design)
+        if zs0 is not None:
+            zs = zs0
+        else:
+            zs = sample_prior_latent(key, B, T, L, cfg.latent_dim, design=cfg.task.design)
 
         def model_fn(x, t, **extra):
             return self.model.apply(params, x, t, method=self.model.forward_inference, **kw)
@@ -108,6 +111,11 @@ class InferenceEngine:
     def sample(self, batch: dict, key) -> tuple:
         """batch: featurized dict (torsions/rots/trans/seqres/mask...)."""
         return self._sample_jit(self.params, batch, key)
+
+    def _sample_with_zs0(self, params, batch, zs0):
+        """Deterministic decode from a given prior latent (RTB rollouts,
+        src/mdgen/wrapper.py:436 zs0 path)."""
+        return self._sample(params, batch, jax.random.key(0), zs0=zs0)
 
     # ------------------------------------------------------------------
     def _expand_frame0(self, atom14_frame0, seqres, mask):

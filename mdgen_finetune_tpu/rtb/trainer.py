@@ -1,0 +1,288 @@
+"""RTB fine-tuning + prior-distillation trainers.
+
+Rebuild of src/rtb_utils/gfn_diffusion.py:
+
+- ``RTBTrainer`` (:154-543): per iteration — sample conditioning from the
+  dataset, run the twin-policy GFN sampler, decode terminal latents through
+  the frozen MDGen flow, score with the reward oracle, take an RTB / TB /
+  VarGrad gradient step on the LoRA adapter (+ logZ). The sampler + loss +
+  grad compile into one jitted step; only the reward (when OpenMM-backed) and
+  the replay buffer run host-side.
+- ``DiffuserTrainer`` (:605-805): distills the MDGen prior-latent distribution
+  into a DDPM denoiser with min-SNR-weighted v-prediction MSE, so the RTB
+  chain has exact per-step log-probs.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import MDGenConfig
+from ..models import LatentMDGen
+from .lora import lora_init, lora_merge
+from .priors import MDGenSimulator
+from .replay_buffer import ReplayBuffer
+from .samplers import PosteriorPriorDGFN, rtb_loss, vargrad_logz
+from .scheduler import DDPMGFNScheduler
+
+
+@dataclasses.dataclass(frozen=True)
+class RTBConfig:
+    """(src/rtb_utils/args.py:25-126 essentials)"""
+
+    method: str = "rtb"  # rtb | tb
+    lr: float = 5e-5
+    logz_lr: float = 5e-2
+    batch_size: int = 4
+    n_iterations: int = 1000
+    sampling_length: int = 10
+    num_train_timesteps: int = 1000
+    xT_type: str = "gaussian"
+    vargrad: bool = False
+    learning_cutoff: float = 0.1
+    detach_freq: float = 0.0
+    lora_rank: int = 32
+    replay_buffer: bool = False
+    rb_size: int = 1000
+    rb_ratio: float = 0.25
+    grad_clip: float = 1.0
+    seed: int = 0
+    reward_temperature: float = 1.0
+
+
+class RTBTrainer:
+    def __init__(
+        self,
+        cfg: MDGenConfig,
+        rtb: RTBConfig,
+        prior_sim: MDGenSimulator,
+        reward_fn: Callable,
+        policy_params: Optional[dict] = None,
+        workdir: str = "workdir/rtb",
+    ):
+        self.cfg = cfg
+        self.rtb = rtb
+        self.prior_sim = prior_sim
+        self.reward_fn = reward_fn
+        self.workdir = workdir
+
+        # policy network = the denoiser architecture as DDPM v-predictor;
+        # the prior policy is its frozen copy, the posterior adds LoRA
+        self.policy = LatentMDGen(cfg, cfg.latent_dim, dtype=jnp.float32)
+        self.policy_params = policy_params if policy_params is not None else prior_sim.engine.params
+        self.scheduler = DDPMGFNScheduler(
+            num_train_timesteps=rtb.num_train_timesteps, prediction_type="v_prediction",
+            clip_sample=True, clip_sample_range=3.0, variance_type="fixed_large",
+        )
+
+        def policy_apply(params, x, t, condition):
+            tt = jnp.full((x.shape[0],), t, jnp.float32) / rtb.num_train_timesteps
+            return self.policy.apply(params, x, tt, **condition)
+
+        def prior_fn(x, t, condition):
+            return policy_apply(self.policy_params, x, t, condition)
+
+        def posterior_fn(lora, x, t, condition):
+            merged = {**self.policy_params, "params": lora_merge(self.policy_params["params"], lora)}
+            return policy_apply(merged, x, t, condition)
+
+        self.sampler = PosteriorPriorDGFN(
+            scheduler=self.scheduler,
+            prior_fn=prior_fn,
+            posterior_fn=posterior_fn,
+            dim=prior_sim.latent_shape,
+            sampling_length=rtb.sampling_length,
+            xT_type=rtb.xT_type,
+        )
+
+        key = jax.random.key(rtb.seed)
+        self.lora = lora_init(key, self.policy_params["params"], rank=rtb.lora_rank)
+        self.logZ = jnp.zeros(())
+        self.opt = optax.chain(
+            optax.clip_by_global_norm(rtb.grad_clip),
+            optax.multi_transform(
+                {"lora": optax.adam(rtb.lr), "logZ": optax.adam(rtb.logz_lr)},
+                param_labels={"lora": "lora", "logZ": "logZ"},
+            ),
+        )
+        self.opt_state = self.opt.init({"lora": self.lora, "logZ": self.logZ})
+        self.replay = ReplayBuffer(rtb.rb_size, seed=rtb.seed) if rtb.replay_buffer else None
+        self._fwd_jit = jax.jit(self._forward, static_argnames=("batch_size",))
+        self._grad_jit = jax.jit(
+            jax.value_and_grad(self._loss, has_aux=True), static_argnames=("batch_size",)
+        )
+
+    # ------------------------------------------------------------------
+    def _forward(self, lora, key, condition, batch_size: int):
+        return self.sampler.sample_fwd(
+            key, lora, condition, batch_size, detach_freq=self.rtb.detach_freq
+        )
+
+    def _loss(self, trainables, key, condition, logr, batch_size):
+        """Recomputes the trajectory under the same key so grads flow; returns RTB loss."""
+        res = self.sampler.sample_fwd(
+            key, trainables["lora"], condition, batch_size, detach_freq=self.rtb.detach_freq
+        )
+        log_pf_ref = res["logpb"] if self.rtb.method == "tb" else res["logpf_prior"]
+        if self.rtb.vargrad:
+            logZ = jnp.mean(vargrad_logz(res["logpf_posterior"], log_pf_ref, logr))
+        else:
+            logZ = trainables["logZ"]
+        loss = rtb_loss(res["logpf_posterior"], logZ, log_pf_ref, logr, self.rtb.learning_cutoff)
+        aux = {
+            "loss_vec": loss,
+            "logZ": logZ,
+            "pf_divergence": jnp.mean(res["logpf_posterior"] - res["logpf_prior"]),
+        }
+        return jnp.mean(loss), aux
+
+    @staticmethod
+    def _replicate(tree, B: int):
+        """Tile conditioning leaves to the sampler batch size (vargrad-aware
+        replication, src/rtb_utils/priors.py:95-147)."""
+        return jax.tree.map(
+            lambda v: jnp.repeat(v, B // v.shape[0], axis=0) if v.shape[0] != B else v, tree
+        )
+
+    # ------------------------------------------------------------------
+    def step(self, it: int, key) -> dict:
+        """One RTB iteration (src/rtb_utils/gfn_diffusion.py:391-491)."""
+        k_sample, k_grad = jax.random.split(jax.random.fold_in(key, it))
+        condition, batch = self.prior_sim.get_cond_args()
+        B = self.rtb.batch_size
+        condition = self._replicate(condition, B)
+
+        # trajectory sample (no grad) -> decode -> reward
+        res = self._fwd_jit(self.lora, k_sample, condition, batch_size=B)
+        zs0 = res["x"]
+        batch_rep = self._replicate({k: v for k, v in batch.items() if k != "name"}, B)
+        atom14, _ = self.prior_sim.sample(batch_rep, zs0)
+        logr = jnp.asarray(self.reward_fn(atom14, batch["seqres"][0]))
+
+        # gradient step: rerun the same stochastic trajectory with grads
+        trainables = {"lora": self.lora, "logZ": self.logZ}
+        (loss, aux), grads = self._grad_jit(trainables, k_sample, condition, logr, B)
+        updates, self.opt_state = self.opt.update(grads, self.opt_state, trainables)
+        new_trainables = optax.apply_updates(trainables, updates)
+        self.lora, self.logZ = new_trainables["lora"], new_trainables["logZ"]
+        if self.rtb.vargrad:
+            self.logZ = aux["logZ"]
+
+        if self.replay is not None:
+            self.replay.add(np.asarray(zs0), np.asarray(logr), np.asarray(aux["loss_vec"]))
+
+        return {
+            "loss": float(loss),
+            "logr": float(jnp.mean(logr)),
+            "logZ": float(aux["logZ"]),
+            "pf_divergence": float(aux["pf_divergence"]),
+        }
+
+    def run(self, n_iterations: Optional[int] = None, log_every: int = 10, log_fn=None) -> list:
+        os.makedirs(self.workdir, exist_ok=True)
+        key = jax.random.key(self.rtb.seed + 1)
+        history = []
+        for it in range(n_iterations or self.rtb.n_iterations):
+            t0 = time.time()
+            metrics = self.step(it, key)
+            metrics.update(it=it, dur=round(time.time() - t0, 2))
+            history.append(metrics)
+            if it % log_every == 0:
+                (log_fn or (lambda m: print(json.dumps(m), flush=True)))(metrics)
+        return history
+
+    # ------------------------------------------------------------------
+    def save(self, path: Optional[str] = None):
+        import pickle
+
+        path = path or os.path.join(self.workdir, "checkpoint.pkl")
+        with open(path, "wb") as f:
+            pickle.dump(
+                {"lora": jax.device_get(self.lora), "logZ": float(self.logZ),
+                 "opt_state": jax.device_get(self.opt_state)},
+                f,
+            )
+        return path
+
+    def load(self, path: str):
+        import pickle
+
+        with open(path, "rb") as f:
+            ckpt = pickle.load(f)
+        self.lora = jax.device_put(ckpt["lora"])
+        self.logZ = jnp.asarray(ckpt["logZ"])
+        self.opt_state = jax.device_put(ckpt["opt_state"])
+
+
+# ---------------------------------------------------------------------------
+class DiffuserTrainer:
+    """Outsourced-prior distillation (src/rtb_utils/gfn_diffusion.py:605-805):
+    train a DDPM v-predictor to reproduce the MDGen prior-latent distribution."""
+
+    def __init__(
+        self,
+        cfg: MDGenConfig,
+        source_sampler: Callable,  # key -> clean latents (B, T, L, D)
+        condition: dict,
+        lr: float = 1e-4,
+        num_train_timesteps: int = 1000,
+        min_snr_gamma: float = 5.0,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.model = LatentMDGen(cfg, cfg.latent_dim, dtype=jnp.float32)
+        self.scheduler = DDPMGFNScheduler(num_train_timesteps=num_train_timesteps)
+        self.source_sampler = source_sampler
+        self.condition = condition
+        self.min_snr_gamma = min_snr_gamma
+        self.num_train_timesteps = num_train_timesteps
+        self.tx = optax.adamw(lr)
+        self.seed = seed
+        self._step_jit = None
+
+    def init_params(self, key, sample_clean):
+        B = sample_clean.shape[0]
+        return self.model.init(key, sample_clean, jnp.zeros((B,)), **self.condition)
+
+    def _loss(self, params, key, clean):
+        B = clean.shape[0]
+        k_t, k_n = jax.random.split(key)
+        t = jax.random.randint(k_t, (B,), 0, self.num_train_timesteps)
+        noise = jax.random.normal(k_n, clean.shape)
+        noisy = self.scheduler.add_noise(clean, noise, t)
+        target = self.scheduler.get_velocity(clean, noise, t)
+        pred = self.model.apply(params, noisy, t.astype(jnp.float32) / self.num_train_timesteps, **self.condition)
+        # min-SNR-gamma weighting (gfn_diffusion.py:732-744)
+        a = self.scheduler._alpha_prod(t)
+        snr = a / (1 - a)
+        w = jnp.minimum(snr, self.min_snr_gamma) / jnp.clip(snr, 1e-8)
+        mse = jnp.mean((pred - target) ** 2, axis=tuple(range(1, clean.ndim)))
+        return jnp.mean(w * mse)
+
+    def train(self, params, opt_state, n_steps: int, key) -> tuple:
+        if self._step_jit is None:
+
+            @jax.jit
+            def step(params, opt_state, key):
+                k_data, k_loss = jax.random.split(key)
+                clean = self.source_sampler(k_data)
+                loss, grads = jax.value_and_grad(self._loss)(params, k_loss, clean)
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                return optax.apply_updates(params, updates), opt_state, loss
+
+            self._step_jit = step
+        losses = []
+        for i in range(n_steps):
+            key, k = jax.random.split(key)
+            params, opt_state, loss = self._step_jit(params, opt_state, k)
+            losses.append(float(loss))
+        return params, opt_state, losses

@@ -1,0 +1,131 @@
+"""RTB stack: scheduler math, LoRA identity/grads, GFN sampler invariants, training smoke."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mdgen_finetune_tpu.config import (
+    DataConfig, MDGenConfig, ModelConfig, TaskConfig, TrainConfig, TransportConfig,
+)
+from mdgen_finetune_tpu.rtb.lora import lora_init, lora_merge
+from mdgen_finetune_tpu.rtb.samplers import PosteriorPriorDGFN, rtb_loss
+from mdgen_finetune_tpu.rtb.scheduler import DDPMGFNScheduler, betas_for_alpha_bar, normal_logprob
+from mdgen_finetune_tpu.rtb.rewards import SurrogateReward
+
+
+def test_beta_schedule_oracle():
+    import math
+    betas = betas_for_alpha_bar(100)
+    # independent recomputation
+    def ab(t):
+        return math.cos((t + 0.008) / 1.008 * math.pi / 2) ** 2
+    for i in [0, 10, 99]:
+        expect = min(1 - ab((i + 1) / 100) / ab(i / 100), 0.999)
+        np.testing.assert_allclose(betas[i], expect, rtol=1e-12)
+
+
+def test_scheduler_step_oracle():
+    sched = DDPMGFNScheduler(num_train_timesteps=50, prediction_type="v_prediction",
+                             variance_type="fixed_large", clip_sample=True, clip_sample_range=3.0)
+    sched.set_timesteps(10)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 4)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, 4)), jnp.float32)
+    t = 45
+    out = sched.step(v, jnp.asarray(t), x, key=jax.random.key(0))
+    # numpy oracle of DDPM formula 7 with v-pred
+    a = np.cumprod(1 - np.asarray(betas_for_alpha_bar(50)))
+    prev_t = t - 5
+    ap, app = a[t], a[prev_t]
+    bp, bpp = 1 - ap, 1 - app
+    x0 = np.clip(ap**0.5 * np.asarray(x) - bp**0.5 * np.asarray(v), -3, 3)
+    cur_a = ap / app
+    mean = (app**0.5 * (1 - cur_a)) / bp * x0 + cur_a**0.5 * bpp / bp * np.asarray(x)
+    np.testing.assert_allclose(np.asarray(out["posterior_mean"]), mean, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["posterior_std"]), (1 - cur_a) ** 0.5, atol=1e-6)
+    # realized transition: prev = mean + std * noise
+    np.testing.assert_allclose(
+        np.asarray(out["prev_sample"]), mean + (1 - cur_a) ** 0.5 * np.asarray(out["noise"]), atol=1e-5
+    )
+
+
+def test_scheduler_add_noise_step_noise_consistency():
+    sched = DDPMGFNScheduler(num_train_timesteps=50)
+    sched.set_timesteps(10)
+    rng = np.random.default_rng(1)
+    x0 = jnp.asarray(rng.normal(size=(3, 5)), jnp.float32)
+    noise = jnp.asarray(rng.normal(size=(3, 5)), jnp.float32)
+    t = jnp.asarray(40)
+    t_prev = sched.previous_timestep(t)
+    x_prev = sched.add_noise(x0, noise, t_prev[None])
+    # step_noise moves prev(t) -> t along the same forward path
+    x_t, mean, std = sched.step_noise(x_prev, noise, t)
+    expect = sched.add_noise(x0, noise, t[None])
+    np.testing.assert_allclose(np.asarray(x_t), np.asarray(expect), atol=1e-5)
+
+
+def test_lora_identity_and_grads():
+    key = jax.random.key(0)
+    params = {"dense": {"kernel": jnp.ones((4, 4)), "bias": jnp.zeros(4)}}
+    lora = lora_init(key, params, rank=2, targets=lambda p: p.endswith("kernel"))
+    merged = lora_merge(params, lora)
+    np.testing.assert_allclose(np.asarray(merged["dense"]["kernel"]), np.ones((4, 4)))  # b=0 => identity
+
+    def f(lora):
+        m = lora_merge(params, lora)
+        return jnp.sum(m["dense"]["kernel"] ** 2)
+
+    g = jax.grad(f)(lora)
+    assert np.abs(np.asarray(g["dense/kernel"]["b"])).sum() > 0  # grads reach the adapter
+
+
+def _toy_sampler(dim=(3, 2), sampling_length=5):
+    sched = DDPMGFNScheduler(num_train_timesteps=50)
+    W = jnp.asarray(np.random.default_rng(2).normal(size=(int(np.prod(dim)), int(np.prod(dim)))) * 0.01, jnp.float32)
+
+    def net(params, x, t, condition):
+        flat = x.reshape(x.shape[0], -1)
+        out = flat @ (W + params) * 0.1
+        return out.reshape(x.shape)
+
+    prior_fn = lambda x, t, c: net(0.0, x, t, c)
+    posterior_fn = lambda lora, x, t, c: net(lora, x, t, c)
+    return PosteriorPriorDGFN(
+        scheduler=sched, prior_fn=prior_fn, posterior_fn=posterior_fn,
+        dim=dim, sampling_length=sampling_length,
+    )
+
+
+def test_gfn_sampler_prior_equals_posterior_at_init():
+    sampler = _toy_sampler()
+    res = sampler.sample_fwd(jax.random.key(0), jnp.zeros(()), {}, batch_size=4)
+    # posterior == prior (zero adapter) => identical forward log-probs
+    np.testing.assert_allclose(
+        np.asarray(res["logpf_posterior"]), np.asarray(res["logpf_prior"]), rtol=1e-5
+    )
+    assert np.isfinite(np.asarray(res["logpb"])).all()
+    assert res["x"].shape == (4, 3, 2)
+
+
+def test_gfn_sampler_grad_flows():
+    sampler = _toy_sampler()
+
+    def loss(delta):
+        res = sampler.sample_fwd(jax.random.key(0), delta, {}, batch_size=2)
+        return jnp.mean(rtb_loss(res["logpf_posterior"], 0.0, res["logpf_prior"], jnp.ones(2) * 5))
+
+    g = jax.grad(loss)(jnp.zeros(()))
+    assert np.isfinite(float(g)) and abs(float(g)) > 0
+
+
+def test_surrogate_reward_prefers_ideal_geometry():
+    from mdgen_finetune_tpu.data.synthetic import synthesize_trajectory
+
+    ideal = synthesize_trajectory("AGHK", 4, seed=0).astype(np.float32)[None]
+    noisy = ideal + np.random.default_rng(3).normal(0, 0.5, ideal.shape).astype(np.float32)
+    reward = SurrogateReward()
+    aat = np.array([0, 5, 6, 8])
+    r_ideal = float(reward(ideal, aat)[0])
+    r_noisy = float(reward(noisy, aat)[0])
+    assert r_ideal > r_noisy
