@@ -22,6 +22,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.fused_attention import fused_attention
 from .layers import default_init, dense, zero_init
 from .rope import apply_rope
 
@@ -59,14 +60,12 @@ class MultiheadAttention(nn.Module):
         if self.use_rope:
             q, k = apply_rope(q, k)
 
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+        key_valid = None
         if mask is not None:
             key_valid = jnp.concatenate(
-                [mask.astype(bool), jnp.ones((B, 1), dtype=bool)], axis=1
+                [mask.astype(q.dtype), jnp.ones((B, 1), dtype=q.dtype)], axis=1
             )  # bias token always valid
-            logits = jnp.where(key_valid[:, None, None, :], logits, _NEG_INF)
-        attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        out = fused_attention(q, k, v, key_valid)
 
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
         return dense(C, name="out_proj", dtype=self.dtype)(out)
