@@ -55,12 +55,14 @@ def main():
     out = fwd(params, x, t)
     out.block_until_ready()  # compile
 
-    # timed region: enough calls for stable measurement
+    # distinct inputs per call: the remote-execution relay caches results for
+    # repeated (executable, args) pairs, which would inflate the number
     n_calls = 30
+    xs = [jnp.asarray(rng.normal(size=x.shape), jnp.float32) for _ in range(n_calls)]
+    jax.block_until_ready(xs)  # uploads land before the timed region
     start = time.perf_counter()
-    for i in range(n_calls):
-        out = fwd(params, x, t)
-    out.block_until_ready()
+    outs = [fwd(params, xs[i], t) for i in range(n_calls)]
+    jax.block_until_ready(outs)
     elapsed = time.perf_counter() - start
 
     steps_per_sec = B * n_calls / elapsed
