@@ -31,6 +31,9 @@ def add_train_args(parser: argparse.ArgumentParser):
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--val_epoch_freq", type=int, default=1)
     p.add_argument("--no_validate", action="store_true")
+    p.add_argument("--inference_batches", type=int, default=0)
+    p.add_argument("--designability_freq", type=int, default=1)
+    p.add_argument("--check_grad", action="store_true")
     p.add_argument("--print_freq", type=int, default=100)
     p.add_argument("--ckpt_freq", type=int, default=1)
     p.add_argument("--wandb", action="store_true")

@@ -56,6 +56,21 @@ def main(argv=None):
         rng, sub = jax.random.split(rng)
         state = trainer.fit(state, it, steps_per_epoch, sub, log_every=cfg.train.print_freq, log_fn=log_fn)
 
+        if cfg.task.design and a.inference_batches and (epoch + 1) % a.designability_freq == 0:
+            # designability probe: sample and measure sequence recovery
+            # (src/mdgen/wrapper.py:516-537)
+            from ..analysis import sequence_recovery
+            from ..data.featurize import featurize_atom14_batch
+            from ..inference import InferenceEngine
+
+            engine = InferenceEngine(cfg, state.ema_params if cfg.train.ema else state.params)
+            vb = val_ds.batch(np.random.default_rng(epoch), min(cfg.train.batch_size, 2))
+            feats = featurize_atom14_batch(vb["atom14"], vb["seqres"], vb["mask"])
+            rng, key = jax.random.split(rng)
+            _, aa_out = engine.sample(feats, key)
+            rec = sequence_recovery(np.asarray(aa_out)[:, 0], np.asarray(vb["seqres"][0]))
+            log_fn({f"designability_{k}": v for k, v in rec.items()} | {"epoch": epoch})
+
         if not a.no_validate and (epoch + 1) % a.val_epoch_freq == 0:
             vrng = np.random.default_rng(0)
             vmetrics = []

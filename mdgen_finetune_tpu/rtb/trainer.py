@@ -127,20 +127,30 @@ class RTBTrainer:
             key, lora, condition, batch_size, detach_freq=self.rtb.detach_freq
         )
 
-    def _loss(self, trainables, key, condition, logr, batch_size):
+    def _loss(self, trainables, key, condition, logr, batch_size, peptide_ids=None):
         """Recomputes the trajectory under the same key so grads flow; returns RTB loss."""
         res = self.sampler.sample_fwd(
             key, trainables["lora"], condition, batch_size, detach_freq=self.rtb.detach_freq
         )
         log_pf_ref = res["logpb"] if self.rtb.method == "tb" else res["logpf_prior"]
         if self.rtb.vargrad:
-            logZ = jnp.mean(vargrad_logz(res["logpf_posterior"], log_pf_ref, logr))
+            vg = vargrad_logz(res["logpf_posterior"], log_pf_ref, logr)
+            if peptide_ids is not None:
+                # per-peptide logZ estimates for the conditional variant
+                # (src/rtb_utils/gfn_diffusion.py:440-453)
+                n = batch_size
+                ones = jnp.ones_like(vg)
+                sums = jax.ops.segment_sum(vg, peptide_ids, num_segments=n)
+                counts = jax.ops.segment_sum(ones, peptide_ids, num_segments=n)
+                logZ = (sums / jnp.maximum(counts, 1))[peptide_ids]
+            else:
+                logZ = jnp.mean(vg)
         else:
             logZ = trainables["logZ"]
         loss = rtb_loss(res["logpf_posterior"], logZ, log_pf_ref, logr, self.rtb.learning_cutoff)
         aux = {
             "loss_vec": loss,
-            "logZ": logZ,
+            "logZ": jnp.mean(logZ),
             "pf_divergence": jnp.mean(res["logpf_posterior"] - res["logpf_prior"]),
         }
         return jnp.mean(loss), aux

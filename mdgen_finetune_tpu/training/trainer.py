@@ -59,8 +59,8 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def init_state(self, rng: jax.Array, sample_batch: dict) -> TrainState:
-        feats = featurize_atom14_batch(
-            jnp.asarray(sample_batch["atom14"]), jnp.asarray(sample_batch["seqres"]), jnp.asarray(sample_batch["mask"])
+        feats = self._featurize(
+            {k: jnp.asarray(v) for k, v in sample_batch.items() if k != "name"}
         )
         prep = prep_batch(self.cfg, feats)
         kw = prep["model_kwargs"]
@@ -80,8 +80,24 @@ class Trainer:
         return jax.device_put(state, replicated_sharding(self.mesh))
 
     # ------------------------------------------------------------------
+    def _featurize(self, batch):
+        if self.cfg.task.no_frames:
+            # raw-coordinate ablation: atom37 + per-atom mask (src/mdgen/dataset.py:81-88)
+            from ..geometry import frames as G
+            from ..geometry import tables as rc
+
+            B, T, L = batch["atom14"].shape[:3]
+            aat = jnp.broadcast_to(batch["seqres"][:, None], (B, T, L))
+            atom37 = G.atom14_to_atom37(batch["atom14"].astype(jnp.float32), aat)
+            return {
+                "atom37": atom37,
+                "seqres": batch["seqres"],
+                "mask": jnp.asarray(rc.RESTYPE_ATOM37_MASK)[batch["seqres"]],
+            }
+        return featurize_atom14_batch(batch["atom14"], batch["seqres"], batch["mask"])
+
     def _loss_fn(self, params, key, batch):
-        feats = featurize_atom14_batch(batch["atom14"], batch["seqres"], batch["mask"])
+        feats = self._featurize(batch)
         prep = prep_batch(self.cfg, feats)
         kw = prep["model_kwargs"]
 
@@ -111,6 +127,15 @@ class Trainer:
         decay = self.cfg.train.ema_decay if self.cfg.train.ema else 0.0
         ema = jax.tree.map(lambda e, p: decay * e + (1 - decay) * p, state.ema_params, params)
         return TrainState(step=state.step + 1, params=params, opt_state=opt_state, ema_params=ema), metrics
+
+    def check_grad_coverage(self, state: TrainState, batch: dict, key) -> list:
+        """Return param paths receiving all-zero gradients (reference
+        --check_grad, src/mdgen/wrapper.py:115-118)."""
+        import flax.traverse_util as traverse
+
+        _, grads = jax.value_and_grad(self._loss_fn, has_aux=True)(state.params, key, batch)
+        flat = traverse.flatten_dict(jax.device_get(grads), sep="/")
+        return [k for k, v in flat.items() if float(jnp.abs(v).max()) == 0.0]
 
     @property
     def train_step(self):
