@@ -14,7 +14,7 @@ contraction onto the MXU. Semantics preserved for checkpoint parity:
 The (B*T, L) / (B*L, T) factorized batching of the denoiser keeps sequence
 lengths modest (4-1000), so a dense masked softmax-attention is the right
 baseline on TPU; a Pallas flash kernel plugs in behind the same interface for
-long-T configs (see ops/flash_attention.py).
+long-T configs (see ops/fused_attention.py).
 """
 from __future__ import annotations
 

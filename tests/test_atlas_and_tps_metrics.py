@@ -1,0 +1,54 @@
+"""ATLAS dataset handling (replicas, crop/pad) and TPS ensemble metrics."""
+import os
+
+import numpy as np
+import pytest
+
+from mdgen_finetune_tpu.analysis import analyze_tps_ensemble
+from mdgen_finetune_tpu.cli.msm_common import build_msm_metadata, pick_flux_states
+from mdgen_finetune_tpu.config import DataConfig, MDGenConfig
+from mdgen_finetune_tpu.data import MDGenDataset
+from mdgen_finetune_tpu.data.synthetic import synthesize_trajectory
+from mdgen_finetune_tpu.geometry.tables import str_sequence_to_aatype
+
+
+def test_atlas_dataset_replicas_and_crop(tmp_path):
+    d = str(tmp_path)
+    seq = "AGHKLMNP"  # L=8
+    for r in (1, 2, 3):
+        np.save(os.path.join(d, f"PEP_R{r}.npy"), synthesize_trajectory(seq, 40, seed=r))
+    with open(os.path.join(d, "split.csv"), "w") as f:
+        f.write(f"name,seqres\nPEP,{seq}\n")
+
+    cfg = MDGenConfig(data=DataConfig(data_dir=d, num_frames=8, crop=4, atlas=True))
+    ds = MDGenDataset(cfg, os.path.join(d, "split.csv"))
+    s = ds.sample(np.random.default_rng(0))
+    assert s["atom14"].shape == (8, 4, 14, 3)  # cropped to 4
+    assert s["name"].startswith("PEP_R")
+
+    # pad case: crop 12 > L=8
+    cfg = MDGenConfig(data=DataConfig(data_dir=d, num_frames=8, crop=12, atlas=True))
+    ds = MDGenDataset(cfg, os.path.join(d, "split.csv"))
+    s = ds.sample(np.random.default_rng(1))
+    assert s["atom14"].shape == (8, 12, 14, 3)
+    assert (s["mask"][:8] == 1).all() and (s["mask"][8:] == 0).all()
+    assert np.all(s["atom14"][:, 8:] == 0)
+
+
+def test_tps_ensemble_metrics(tmp_path):
+    seq = "AGHK"
+    aat = str_sequence_to_aatype(seq)
+    md = synthesize_trajectory(seq, 800, seed=0).astype(np.float32)
+    path = os.path.join(str(tmp_path), "AGHK.npy")
+    np.save(path, md)
+    meta = build_msm_metadata(path, aat, os.path.join(str(tmp_path), "meta.pkl"),
+                              tica_lag=50, msm_lag=20, n_meta=4)
+    assert meta is not None
+    start, end = pick_flux_states(meta["cmsm"], "min")
+    # generated "transition paths": windows of the MD itself
+    gen = [md[i : i + 60] for i in range(0, 300, 100)]
+    out = analyze_tps_ensemble(gen, aat, meta, start, end, stride=10, n_ref_samples=50)
+    for k in ("gen_prob", "gen_valid_rate", "gen_JSD"):
+        assert np.isfinite(out[k]), (k, out[k])
+    assert 0 <= out["gen_valid_rate"] <= 1
+    assert abs(out["gen_stateprobs"].sum() - 1) < 1e-6
