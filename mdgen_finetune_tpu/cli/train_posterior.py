@@ -68,6 +68,7 @@ def main(argv=None):
     workdir = os.path.join(a.workdir, a.exp_name)
     os.makedirs(workdir, exist_ok=True)
 
+    reward_on_device = True
     if a.reward == "surrogate":
         from ..rtb.rewards import SurrogateReward
 
@@ -80,6 +81,7 @@ def main(argv=None):
         if isinstance(reward_obj, SurrogateReward):
             reward_fn = lambda a14, aat: reward_obj(a14, aat)
         else:
+            reward_on_device = False
             # OpenMM path: export trajectories to PDB files and score them
             from ..geometry.protein import atom14_to_pdb
             import tempfile
@@ -93,7 +95,7 @@ def main(argv=None):
                         paths.append(path)
                     return reward_obj(paths)
 
-    trainer = RTBTrainer(cfg, rtb, sim, reward_fn, workdir=workdir)
+    trainer = RTBTrainer(cfg, rtb, sim, reward_fn, workdir=workdir, reward_on_device=reward_on_device)
     ckpt_path = os.path.join(workdir, "checkpoint.pkl")
     if a.resume and os.path.exists(ckpt_path):
         trainer.load(ckpt_path)

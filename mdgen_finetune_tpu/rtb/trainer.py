@@ -68,6 +68,7 @@ class RTBTrainer:
         reward_fn: Callable,
         policy_params: Optional[dict] = None,
         workdir: str = "workdir/rtb",
+        reward_on_device: bool = True,
     ):
         self.cfg = cfg
         self.rtb = rtb
@@ -116,6 +117,8 @@ class RTBTrainer:
         )
         self.opt_state = self.opt.init({"lora": self.lora, "logZ": self.logZ})
         self.replay = ReplayBuffer(rtb.rb_size, seed=rtb.seed) if rtb.replay_buffer else None
+        self.reward_on_device = reward_on_device
+        self._fused_grad_jit = None
         self._fwd_jit = jax.jit(self._forward, static_argnames=("batch_size",))
         self._grad_jit = jax.jit(
             jax.value_and_grad(self._loss, has_aux=True), static_argnames=("batch_size",)
@@ -163,6 +166,32 @@ class RTBTrainer:
             lambda v: jnp.repeat(v, B // v.shape[0], axis=0) if v.shape[0] != B else v, tree
         )
 
+    def _fused_loss(self, trainables, key, condition, batch_rep, seqres, batch_size):
+        """Single-pass variant for device-computable rewards: sampler + decode
+        + reward + loss in one jit (the trajectory is sampled once, not
+        re-run for the gradient)."""
+        res = self.sampler.sample_fwd(
+            key, trainables["lora"], condition, batch_size, detach_freq=self.rtb.detach_freq
+        )
+        atom14, _ = self.prior_sim.engine._sample_with_zs0(
+            self.prior_sim.engine.params, batch_rep, jax.lax.stop_gradient(res["x"])
+        )
+        logr = jax.lax.stop_gradient(jnp.asarray(self.reward_fn(atom14, seqres)))
+        log_pf_ref = res["logpb"] if self.rtb.method == "tb" else res["logpf_prior"]
+        if self.rtb.vargrad:
+            logZ = jnp.mean(vargrad_logz(res["logpf_posterior"], log_pf_ref, logr))
+        else:
+            logZ = trainables["logZ"]
+        loss = rtb_loss(res["logpf_posterior"], logZ, log_pf_ref, logr, self.rtb.learning_cutoff)
+        aux = {
+            "loss_vec": loss,
+            "logZ": jnp.mean(logZ),
+            "pf_divergence": jnp.mean(res["logpf_posterior"] - res["logpf_prior"]),
+            "logr": logr,
+            "x": res["x"],
+        }
+        return jnp.mean(loss), aux
+
     # ------------------------------------------------------------------
     def step(self, it: int, key) -> dict:
         """One RTB iteration (src/rtb_utils/gfn_diffusion.py:391-491)."""
@@ -170,17 +199,26 @@ class RTBTrainer:
         condition, batch = self.prior_sim.get_cond_args()
         B = self.rtb.batch_size
         condition = self._replicate(condition, B)
-
-        # trajectory sample (no grad) -> decode -> reward
-        res = self._fwd_jit(self.lora, k_sample, condition, batch_size=B)
-        zs0 = res["x"]
         batch_rep = self._replicate({k: v for k, v in batch.items() if k != "name"}, B)
-        atom14, _ = self.prior_sim.sample(batch_rep, zs0)
-        logr = jnp.asarray(self.reward_fn(atom14, batch["seqres"][0]))
-
-        # gradient step: rerun the same stochastic trajectory with grads
         trainables = {"lora": self.lora, "logZ": self.logZ}
-        (loss, aux), grads = self._grad_jit(trainables, k_sample, condition, logr, B)
+
+        if self.reward_on_device:
+            if self._fused_grad_jit is None:
+                self._fused_grad_jit = jax.jit(
+                    jax.value_and_grad(self._fused_loss, has_aux=True),
+                    static_argnames=("batch_size",),
+                )
+            (loss, aux), grads = self._fused_grad_jit(
+                trainables, k_sample, condition, batch_rep, batch["seqres"][0], batch_size=B
+            )
+            logr, zs0 = aux["logr"], aux["x"]
+        else:
+            # host reward (OpenMM): sample -> decode -> reward -> re-run with grads
+            res = self._fwd_jit(self.lora, k_sample, condition, batch_size=B)
+            zs0 = res["x"]
+            atom14, _ = self.prior_sim.sample(batch_rep, zs0)
+            logr = jnp.asarray(self.reward_fn(atom14, batch["seqres"][0]))
+            (loss, aux), grads = self._grad_jit(trainables, k_sample, condition, logr, B)
         updates, self.opt_state = self.opt.update(grads, self.opt_state, trainables)
         new_trainables = optax.apply_updates(trainables, updates)
         self.lora, self.logZ = new_trainables["lora"], new_trainables["logZ"]
