@@ -145,6 +145,43 @@ def sample_ode(
 
 
 # ---------------------------------------------------------------------------
+# Likelihood ODE (Hutchinson divergence estimator)
+# ---------------------------------------------------------------------------
+def ode_likelihood(
+    drift: Callable,
+    x: jnp.ndarray,
+    key: jax.Array,
+    *,
+    t0: float = 0.0,
+    t1: float = 1.0,
+    num_steps: int = 100,
+):
+    """Integrate the reversed probability-flow ODE with a running Hutchinson
+    trace estimate (src/mdgen/transport/transport.py:452-510): returns
+    (x0, delta_logp) where log p(x) = prior_logp(x0) - delta_logp.
+
+    The reference evaluates the drift at (1 - t) and uses Rademacher probes
+    re-drawn each evaluation; here one probe per scan step via jvp.
+    """
+    dt = (t1 - t0) / num_steps
+    ts = t0 + dt * jnp.arange(num_steps, dtype=x.dtype)
+    keys = jax.random.split(key, num_steps)
+
+    def step(carry, inp):
+        xc, logp = carry
+        t, k = inp
+        eps = jax.random.rademacher(k, xc.shape, dtype=xc.dtype)
+        tv = _tvec(1.0 - t, xc)
+        f = lambda y: drift(y, tv)
+        fx, jvp_eps = jax.jvp(f, (xc,), (eps,))
+        div = jnp.sum(jvp_eps * eps, axis=tuple(range(1, xc.ndim)))
+        return (xc - fx * dt, logp + div * dt), None
+
+    (x0, delta_logp), _ = jax.lax.scan(step, (x, jnp.zeros(x.shape[0], x.dtype)), (ts, keys))
+    return x0, delta_logp
+
+
+# ---------------------------------------------------------------------------
 # SDE
 # ---------------------------------------------------------------------------
 def sample_sde(
