@@ -140,6 +140,27 @@ class PosteriorPriorDGFN:
         return {"xT": xT, "logpb": lpb, "logpf_posterior": lpf_post}
 
 
+    # ------------------------------------------------------------------
+    def sample_back_and_forth(
+        self, key: jax.Array, lora: dict, condition: dict, x: jnp.ndarray, noise_level: float = 0.5
+    ) -> dict:
+        """Partially renoise terminal samples, then resample forward — local
+        exploration around good samples. The reference's implementation is
+        broken (undefined ``normal_dist``, src/models/samplers.py:653-654);
+        this is the working equivalent built from step_noise + sample_fwd.
+        """
+        sched = self.scheduler
+        k_noise, k_fwd = jax.random.split(key)
+        n_back = max(int(len(sched.timesteps) * noise_level), 1)
+        t_mid = int(np.asarray(sched.timesteps)[len(sched.timesteps) - n_back])
+        noise = jax.random.normal(k_noise, x.shape)
+        x_mid = sched.add_noise(x, noise, jnp.full((x.shape[0],), t_mid))
+        # resume the forward (denoising) chain from t_mid
+        res = self.sample_fwd(k_fwd, lora, condition, x.shape[0], x_start=x_mid)
+        res["t_mid"] = t_mid
+        return res
+
+
 def rtb_loss(logpf_posterior, logZ, log_pf_prior_or_pb, logr, learning_cutoff: float = 0.0):
     """Relative trajectory balance loss (src/rtb_utils/gfn_diffusion.py:459-460)."""
     return 0.5 * jax.nn.relu(

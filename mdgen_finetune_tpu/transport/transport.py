@@ -174,6 +174,46 @@ class Transport:
             return lambda x, t, **kw: model_fn(x, t, **kw)
         return lambda x, t, **kw: self.path.score_from_velocity(model_fn(x, t, **kw), x, expand_t(t, x))
 
+    def make_sde_sampler(
+        self,
+        model_fn: Callable,
+        *,
+        num_steps: int = 250,
+        method: str = "Euler",
+        diffusion_form: str = "SBDM",
+        diffusion_norm: float = 1.0,
+        last_step: str = "Mean",
+        last_step_size: float = 0.04,
+    ) -> Callable:
+        """Configured SDE sampler incl. the Tweedie last step, which needs the
+        path's alpha/sigma (src/mdgen/transport/transport.py:294-405)."""
+        from .samplers import sample_sde
+
+        drift = self.drift_fn(model_fn)
+        score = self.score_fn(model_fn)
+        diffusion = lambda x, te: self.path.diffusion(x, te, form=diffusion_form, norm=diffusion_norm)
+        t0, t1 = self.check_interval(sde=True, eval=True, last_step_size=last_step_size)
+        # the score/diffusion terms are singular at t=0 (e.g. GVP's
+        # d_alpha/alpha ~ 1/tan); start with a semi-implicit first step
+        t0 = max(t0, 1e-3)
+
+        def sample(key, x):
+            out = sample_sde(
+                drift, diffusion, score, key, x,
+                t0=t0, t1=t1, num_steps=num_steps, method=method,
+                last_step=last_step if last_step != "Tweedie" else None,
+                last_step_size=last_step_size,
+            )
+            if last_step == "Tweedie":
+                tv = jnp.full((x.shape[0],), t1 - last_step_size, x.dtype)
+                te = expand_t(tv, out)
+                alpha, _ = self.path.alpha(te)
+                sigma, _ = self.path.sigma(te)
+                out = out / alpha + (sigma**2 / alpha) * score(out, tv)
+            return out
+
+        return sample
+
     def prior_logp(self, z: jnp.ndarray) -> jnp.ndarray:
         """Standard-normal prior log density (src/mdgen/transport/transport.py:84-92)."""
         n = z[0].size

@@ -129,3 +129,23 @@ def test_surrogate_reward_prefers_ideal_geometry():
     r_ideal = float(reward(ideal, aat)[0])
     r_noisy = float(reward(noisy, aat)[0])
     assert r_ideal > r_noisy
+
+
+def test_sample_back_and_forth():
+    sampler = _toy_sampler()
+    res0 = sampler.sample_fwd(jax.random.key(0), jnp.zeros(()), {}, batch_size=3)
+    res = sampler.sample_back_and_forth(jax.random.key(1), jnp.zeros(()), {}, res0["x"], noise_level=0.5)
+    assert res["x"].shape == res0["x"].shape
+    assert np.isfinite(np.asarray(res["logpf_posterior"])).all()
+
+
+def test_sde_sampler_with_tweedie():
+    from mdgen_finetune_tpu.config import MDGenConfig, TaskConfig
+    from mdgen_finetune_tpu.transport import create_transport
+
+    tr = create_transport(MDGenConfig(task=TaskConfig(sim_condition=True)))
+    model_fn = lambda x, t, **kw: -0.1 * x  # mild contraction velocity field
+    for last in ["Mean", "Euler", "Tweedie"]:
+        fn = tr.make_sde_sampler(model_fn, num_steps=8, last_step=last)
+        out = fn(jax.random.key(0), jnp.ones((2, 4)))
+        assert np.isfinite(np.asarray(out)).all(), last
