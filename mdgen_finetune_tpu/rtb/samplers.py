@@ -60,8 +60,10 @@ class PosteriorPriorDGFN:
         x_start: Optional[jnp.ndarray] = None,
         detach_freq: float = 0.0,
         sample_from_prior: bool = False,
+        save_traj: bool = False,
     ) -> dict:
-        """Returns {x, logpf_posterior, logpf_prior, logpb}."""
+        """Returns {x, logpf_posterior, logpf_prior, logpb} (+ traj when
+        ``save_traj``: (S+1, B, *dim) states, xT first)."""
         sched = self.scheduler
         k_init, k_detach, k_scan = jax.random.split(key, 3)
 
@@ -104,11 +106,14 @@ class PosteriorPriorDGFN:
             _, pb_mean, pb_std = sched.step_noise(new_x, xT, t=sched.next_timestep(t))
             lpb = lpb + normal_logprob(x, jax.lax.stop_gradient(pb_mean), pb_std)
 
-            return (new_x, lpf_prior, lpf_post, lpb), None
+            return (new_x, lpf_prior, lpf_post, lpb), (new_x if save_traj else None)
 
         carry = (x, logp0, logp0, jnp.zeros_like(logp0))
-        (x, lpf_prior, lpf_post, lpb), _ = jax.lax.scan(body, carry, (timesteps, keys, detach_flags))
-        return {"x": x, "logpf_prior": lpf_prior, "logpf_posterior": lpf_post, "logpb": lpb}
+        (x, lpf_prior, lpf_post, lpb), ys = jax.lax.scan(body, carry, (timesteps, keys, detach_flags))
+        out = {"x": x, "logpf_prior": lpf_prior, "logpf_posterior": lpf_post, "logpb": lpb}
+        if save_traj:
+            out["traj"] = jnp.concatenate([xT[None], ys], axis=0)  # (S+1, B, *dim)
+        return out
 
     # ------------------------------------------------------------------
     def sample_bkw(self, key: jax.Array, lora: dict, condition: dict, x: jnp.ndarray) -> dict:
@@ -139,6 +144,25 @@ class PosteriorPriorDGFN:
         lpf_post = lpf_post + self._xT_logprob(xT)
         return {"xT": xT, "logpb": lpb, "logpf_posterior": lpf_post}
 
+
+    # ------------------------------------------------------------------
+    def replay_logpf(self, lora: dict, condition: dict, xs: jnp.ndarray, ts: jnp.ndarray, targets: jnp.ndarray):
+        """Posterior log-probs of stored transitions with target-forced noise
+        (src/models/samplers.py:686-742 batched_train inner step).
+
+        xs, targets: (m, B, *dim) chunk of trajectory states and their
+        successors; ts: (m,) integer timesteps. The scheduler's ``target``
+        mode recovers exactly the noise that reproduced the stored next state,
+        so the Normal log-prob is of the realized transition. Returns (m*B,).
+        """
+        m, B = xs.shape[:2]
+        flat = xs.reshape(m * B, *xs.shape[2:])
+        tgt = targets.reshape(m * B, *targets.shape[2:])
+        t_vec = jnp.repeat(ts, B)
+        cond = jax.tree.map(lambda v: jnp.concatenate([v] * m, axis=0), condition)
+        out = self.posterior_fn(lora, flat, t_vec, cond)
+        po = self.scheduler.step(out, t_vec, flat, target=tgt)
+        return normal_logprob(jax.lax.stop_gradient(po["prev_sample"]), po["posterior_mean"], po["posterior_std"])
 
     # ------------------------------------------------------------------
     def sample_back_and_forth(

@@ -93,6 +93,13 @@ class DDPMGFNScheduler:
     def _alpha_prod(self, t):
         return jnp.where(t >= 0, self.alphas_cumprod[jnp.clip(t, 0)], 1.0)
 
+    @staticmethod
+    def _bc(val, x):
+        """Broadcast per-batch scalars (B,) against sample dims (B, ...)."""
+        if jnp.ndim(val) == 1:
+            return val.reshape((-1,) + (1,) * (x.ndim - 1))
+        return val
+
     def get_variance(self, t):
         """Posterior variance per variance_type (scheduling_ddpm_gfn.py:314-360).
         Returns STD for the sampling types used here."""
@@ -113,7 +120,7 @@ class DDPMGFNScheduler:
         return variance
 
     def pred_x0(self, model_output, t, sample):
-        alpha_prod_t = self._alpha_prod(t)
+        alpha_prod_t = self._bc(self._alpha_prod(t), sample)
         beta_prod_t = 1 - alpha_prod_t
         if self.prediction_type == "epsilon":
             x0 = (sample - beta_prod_t**0.5 * model_output) / alpha_prod_t**0.5
@@ -141,8 +148,8 @@ class DDPMGFNScheduler:
         {prev_sample, pred_original_sample, posterior_mean, posterior_std, noise}.
         """
         prev_t = self.previous_timestep(t)
-        alpha_prod_t = self._alpha_prod(t)
-        alpha_prod_t_prev = self._alpha_prod(prev_t)
+        alpha_prod_t = self._bc(self._alpha_prod(t), sample)
+        alpha_prod_t_prev = self._bc(self._alpha_prod(prev_t), sample)
         beta_prod_t = 1 - alpha_prod_t
         beta_prod_t_prev = 1 - alpha_prod_t_prev
         current_alpha_t = alpha_prod_t / alpha_prod_t_prev
@@ -155,9 +162,9 @@ class DDPMGFNScheduler:
         mean = x0_coeff * x0 + xt_coeff * sample
 
         if self.variance_type in ("fixed_small_log",):
-            std = self.get_variance(t)
+            std = self._bc(self.get_variance(t), sample)
         else:
-            std = self.get_variance(t) ** 0.5
+            std = self._bc(self.get_variance(t) ** 0.5, sample)
 
         if target is not None:
             variance_noise = (target - mean) / std
@@ -172,7 +179,7 @@ class DDPMGFNScheduler:
         else:
             variance_noise = noise
 
-        add = jnp.where(t > 0, 1.0, 0.0)
+        add = self._bc(jnp.where(t > 0, 1.0, 0.0), sample)
         prev_sample = mean + add * std * variance_noise
         return {
             "prev_sample": prev_sample,

@@ -86,7 +86,8 @@ class RTBTrainer:
         )
 
         def policy_apply(params, x, t, condition):
-            tt = jnp.full((x.shape[0],), t, jnp.float32) / rtb.num_train_timesteps
+            # t is a scalar timestep inside the scan, or (B,) in replay mode
+            tt = (jnp.zeros((x.shape[0],), jnp.float32) + t) / rtb.num_train_timesteps
             return self.policy.apply(params, x, tt, **condition)
 
         def prior_fn(x, t, condition):
@@ -269,6 +270,86 @@ class RTBTrainer:
         self.lora = jax.device_put(ckpt["lora"])
         self.logZ = jnp.asarray(ckpt["logZ"])
         self.opt_state = jax.device_put(ckpt["opt_state"])
+
+
+class RTBBatchedTrainer(RTBTrainer):
+    """Memory-bounded RTB: one no-grad trajectory, then gradient accumulation
+    over timestep minibatches replaying stored transitions with target-forced
+    noise (src/rtb_utils/gfn_diffusion.py:494-543, src/models/samplers.py:686-742).
+
+    Use when sampling_length is too long for the full-trajectory graph; the
+    regular trainer is faster at short chains.
+    """
+
+    def __init__(self, *args, replay_chunk: int = 4, **kw):
+        super().__init__(*args, **kw)
+        self.replay_chunk = replay_chunk
+        self._replay_grad_jit = None
+        self._traj_jit = None
+
+    def step(self, it: int, key) -> dict:
+        k_sample, _ = jax.random.split(jax.random.fold_in(key, it))
+        condition, batch = self.prior_sim.get_cond_args()
+        B = self.rtb.batch_size
+        condition = self._replicate(condition, B)
+        batch_rep = self._replicate({k: v for k, v in batch.items() if k != "name"}, B)
+
+        if not hasattr(self, "_traj_jit") or self._traj_jit is None:
+            self._traj_jit = jax.jit(
+                lambda lora, k, cond: self.sampler.sample_fwd(
+                    k, lora, cond, B, detach_freq=self.rtb.detach_freq, save_traj=True
+                )
+            )
+        res = self._traj_jit(self.lora, k_sample, condition)
+        atom14, _ = self.prior_sim.sample(batch_rep, res["x"])
+        logr = jnp.asarray(self.reward_fn(atom14, batch["seqres"][0]))
+
+        log_pf_ref = res["logpb"] if self.rtb.method == "tb" else res["logpf_prior"]
+        correction = jax.lax.stop_gradient(
+            res["logpf_posterior"] + self.logZ - log_pf_ref - logr
+        )  # dLoss/dlogpf per sample (up to the relu cutoff, applied below)
+        active = (correction**2 > self.rtb.learning_cutoff).astype(correction.dtype)
+        correction = correction * active
+
+        sched = self.sampler.scheduler
+        # transition i: traj[i] -> traj[i+1], stepped at next_timestep(timesteps[i])
+        step_ts = np.asarray([int(sched.next_timestep(jnp.asarray(int(t)))) for t in sched.timesteps])
+        traj = res["traj"]
+        n_steps = len(step_ts)
+
+        if self._replay_grad_jit is None:
+
+            def chunk_obj(trainables, xs, ts, targets, correction, condition):
+                lp = self.sampler.replay_logpf(trainables["lora"], condition, xs, ts, targets)
+                corr = jnp.tile(correction, xs.shape[0])
+                return jnp.mean((lp + trainables["logZ"]) * corr)
+
+            self._replay_grad_jit = jax.jit(jax.grad(chunk_obj))
+
+        trainables = {"lora": self.lora, "logZ": self.logZ}
+        grads = jax.tree.map(jnp.zeros_like, trainables)
+        m = self.replay_chunk
+        for s in range(0, n_steps, m):
+            idx = list(range(s, min(s + m, n_steps)))
+            if len(idx) < m:  # pad the last chunk by repeating its first step
+                idx = idx + [idx[-1]] * (m - len(idx))
+            xs = jnp.stack([traj[i] for i in idx])
+            targets = jnp.stack([traj[i + 1] for i in idx])
+            ts = jnp.asarray(step_ts[idx])
+            g = self._replay_grad_jit(trainables, xs, ts, targets, correction, condition)
+            grads = jax.tree.map(jnp.add, grads, g)
+
+        updates, self.opt_state = self.opt.update(grads, self.opt_state, trainables)
+        new_t = optax.apply_updates(trainables, updates)
+        self.lora, self.logZ = new_t["lora"], new_t["logZ"]
+
+        loss = 0.5 * jnp.mean(jax.nn.relu(correction**2 - self.rtb.learning_cutoff))
+        return {
+            "loss": float(loss),
+            "logr": float(jnp.mean(logr)),
+            "logZ": float(self.logZ),
+            "pf_divergence": float(jnp.mean(res["logpf_posterior"] - res["logpf_prior"])),
+        }
 
 
 # ---------------------------------------------------------------------------

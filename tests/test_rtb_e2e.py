@@ -91,3 +91,23 @@ def test_diffuser_trainer_distills_prior(setup):
     params, opt_state, losses = dt.train(params, opt_state, 30, key)
     assert np.isfinite(losses).all()
     assert np.mean(losses[-10:]) < np.mean(losses[:10])
+
+
+def test_rtb_batched_trainer(setup, tmp_path):
+    from mdgen_finetune_tpu.rtb.trainer import RTBBatchedTrainer
+
+    cfg = setup["cfg"]
+    sim = MDGenSimulator(cfg, setup["params"], setup["split"], batch_size=1)
+    reward = SurrogateReward(temperature=100.0)
+    rtb = RTBConfig(batch_size=2, sampling_length=4, num_train_timesteps=20, lora_rank=4, lr=1e-3)
+    tr = RTBBatchedTrainer(cfg, rtb, sim, lambda a14, aat: reward(a14, aat),
+                           workdir=str(tmp_path), replay_chunk=2)
+    lora_before = jax.tree.map(lambda x: np.asarray(x).copy(), tr.lora)
+    for i in range(2):
+        m = tr.step(i, jax.random.key(0))
+        assert np.isfinite(m["loss"]) and np.isfinite(m["logr"])
+    moved = any(
+        not np.allclose(np.asarray(a["b"]), np.asarray(lora_before[k]["b"]))
+        for k, a in tr.lora.items()
+    )
+    assert moved
