@@ -231,3 +231,40 @@ def test_full_model_mpnn():
         aatype=jnp.asarray(aatype),
     ))
     np.testing.assert_allclose(out, ref_out, atol=2e-4)
+
+
+def test_full_model_dynamic_mpnn():
+    """dynamic-MPNN: first+last frame slice, logits output (latent_model.py:221-225);
+    abs_time_emb off (same reference re-broadcast bug as mpnn)."""
+    args = make_args(prepend_ipa=True, sim_condition=False, dynamic_mpnn=True, design=True,
+                     abs_time_emb=False)
+    torch.manual_seed(4)
+    ref = FixedRef(args, 48).eval()
+    cfg = make_cfg(args)
+    assert cfg.latent_dim == 48
+    mine = LatentMDGen(cfg, 48)
+
+    B, T, L = 1, args.num_frames, args.crop
+    x = RNG.normal(size=(B, T, L, 48)).astype(np.float32)
+    t = RNG.uniform(0.1, 0.9, size=(B,)).astype(np.float32)
+    mask = np.ones((B, T, L), dtype=np.float32)
+    x_cond = RNG.normal(size=(B, T, L, 28)).astype(np.float32)
+    x_cond_mask = np.zeros((B, T, L), dtype=np.int64)
+    aatype = RNG.integers(0, 20, size=(B, L))
+    rots, trans = random_frames((B, L))
+    ref_r = RefRigid(RefRotation(rot_mats=torch.tensor(rots)), torch.tensor(trans))
+    with torch.no_grad():
+        ref_out = ref(
+            torch.tensor(x), torch.tensor(t), torch.tensor(mask), start_frames=ref_r,
+            end_frames=ref_r, x_cond=torch.tensor(x_cond),
+            x_cond_mask=torch.tensor(x_cond_mask), aatype=torch.tensor(aatype),
+        ).numpy()
+    params = convert_state_dict({k: v.numpy() for k, v in ref.state_dict().items()})
+    out = np.asarray(mine.apply(
+        params, jnp.asarray(x), jnp.asarray(t), jnp.asarray(mask),
+        start_frames=Rigid(jnp.asarray(rots), jnp.asarray(trans)),
+        end_frames=Rigid(jnp.asarray(rots), jnp.asarray(trans)),
+        x_cond=jnp.asarray(x_cond), x_cond_mask=jnp.asarray(x_cond_mask),
+        aatype=jnp.asarray(aatype),
+    ))
+    np.testing.assert_allclose(out, ref_out, atol=2e-4)

@@ -149,3 +149,45 @@ def test_sde_sampler_with_tweedie():
         fn = tr.make_sde_sampler(model_fn, num_steps=8, last_step=last)
         out = fn(jax.random.key(0), jnp.ones((2, 4)))
         assert np.isfinite(np.asarray(out)).all(), last
+
+
+def test_extra_schedulers_step():
+    from mdgen_finetune_tpu.rtb.schedulers_extra import (
+        DDIMGFNScheduler, EDMEulerGFNScheduler, SDEVEGFNScheduler,
+    )
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(2, 4)), jnp.float32)
+    out_model = jnp.asarray(rng.normal(size=(2, 4)), jnp.float32)
+
+    ddim = DDIMGFNScheduler(num_train_timesteps=20, eta=1.0)
+    ddim.set_timesteps(5)
+    o = ddim.step(out_model, jnp.asarray(16), x, key=jax.random.key(0))
+    assert np.isfinite(np.asarray(o["prev_sample"])).all()
+    # eta=1 recovers a stochastic transition consistent with its own mean/std
+    np.testing.assert_allclose(
+        np.asarray(o["prev_sample"]),
+        np.asarray(o["posterior_mean"] + o["posterior_std"] * o["noise"]), atol=1e-5,
+    )
+
+    sve = SDEVEGFNScheduler(num_train_timesteps=20)
+    o = sve.step(out_model, jnp.asarray(10), x, key=jax.random.key(1))
+    assert np.isfinite(np.asarray(o["prev_sample"])).all()
+
+    edm = EDMEulerGFNScheduler(num_inference_steps=10)
+    o = edm.step(out_model, jnp.asarray(5), x, key=jax.random.key(2))
+    assert np.isfinite(np.asarray(o["prev_sample"])).all()
+
+
+def test_rtb_plots(tmp_path):
+    from mdgen_finetune_tpu.rtb.plots import js_divergence, plot_energy_distributions, rel_distance_histograms
+    from mdgen_finetune_tpu.data.synthetic import synthesize_trajectory
+
+    rng = np.random.default_rng(7)
+    a, b = rng.normal(0, 1, 500), rng.normal(2, 1, 500)
+    assert js_divergence(a, a) < 1e-3 < js_divergence(a, b)
+    p = str(tmp_path / "e.png")
+    jsd = plot_energy_distributions(a, b, p)
+    assert jsd > 0 and __import__("os").path.exists(p)
+    t = synthesize_trajectory("AGHK", 20, seed=0).astype(np.float32)
+    rel_distance_histograms(t[:10], t[10:], str(tmp_path / "d.png"))
