@@ -88,6 +88,19 @@ class InferenceEngine:
         kw = prep["model_kwargs"]
         B, T, L = kw["mask"].shape
 
+        if cfg.task.mpnn or cfg.task.dynamic_mpnn:
+            # sequence-only prediction: one forward at t=1, structures are the
+            # conditioning ground truth (src/mdgen/wrapper.py:456-465)
+            x1 = prep["latents"]
+            xt = jnp.concatenate([x1, jnp.zeros((*x1.shape[:-1], 20), x1.dtype)], axis=-1)
+            logits = self.model.apply(
+                params, xt, jnp.ones((B,)), method=self.model.forward_inference, **kw
+            )
+            aa_out = jnp.argmax(logits, -1)
+            aat = jnp.broadcast_to(batch["seqres"][:, None], (B, T, L))
+            atom14 = G.frames_torsions_to_atom14(prep["rigids"], batch["torsions"], aat)
+            return atom14, aa_out
+
         if zs0 is not None:
             zs = zs0
         else:
