@@ -17,7 +17,6 @@ import os
 
 import numpy as np
 
-from ..config import MDGenConfig
 from ..rtb.priors import MDGenSimulator
 from ..rtb.rewards import get_reward
 from ..rtb.trainer import RTBConfig, RTBTrainer

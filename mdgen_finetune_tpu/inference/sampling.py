@@ -10,8 +10,6 @@ src/sim_inference.py:90-96).
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

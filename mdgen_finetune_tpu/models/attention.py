@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.fused_attention import fused_attention
-from .layers import default_init, dense, zero_init
+from .layers import dense
 from .rope import apply_rope
 
 _NEG_INF = -1e9

@@ -9,7 +9,6 @@ is only used when the OpenMM reward needs files.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

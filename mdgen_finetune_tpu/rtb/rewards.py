@@ -14,7 +14,6 @@ files on disk (src/rtb_utils/rewards.py:40-160). Here:
 """
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -98,13 +97,9 @@ class Amber14Reward:
             self.temperature * unit.kelvin, 1 / unit.picosecond, 0.002 * unit.picoseconds
         )
         ctx = openmm.Context(system, integrator)
-        energies = []
-        # all MODELs in a multi-frame pdb
-        for positions in pdb.getPositions(asNumpy=True, frame=None) if False else [modeller.positions]:
-            ctx.setPositions(positions)
-            state = ctx.getState(getEnergy=True)
-            energies.append(state.getPotentialEnergy().value_in_unit(unit.kilojoule_per_mole))
-        return np.asarray(energies)
+        ctx.setPositions(modeller.positions)
+        state = ctx.getState(getEnergy=True)
+        return np.asarray([state.getPotentialEnergy().value_in_unit(unit.kilojoule_per_mole)])
 
     def __call__(self, pdb_paths: list[str]) -> np.ndarray:
         """log_r = -E/temperature per path (src/rtb_utils/rewards.py:151)."""

@@ -18,7 +18,6 @@ import dataclasses
 import json
 import os
 import time
-from functools import partial
 from typing import Callable, Optional
 
 import jax

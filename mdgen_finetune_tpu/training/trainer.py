@@ -12,7 +12,6 @@ from __future__ import annotations
 import json
 import os
 import time
-from functools import partial
 from typing import Any, Iterator, Optional
 
 import flax.struct
@@ -27,7 +26,6 @@ from ..models import LatentMDGen
 from ..parallel.mesh import make_mesh, replicated_sharding, shard_batch
 from ..tasks import prep_batch
 from ..transport import create_transport
-from ..geometry.rigid import Rigid
 
 
 @flax.struct.dataclass
