@@ -268,3 +268,48 @@ def test_full_model_dynamic_mpnn():
         aatype=jnp.asarray(aatype),
     ))
     np.testing.assert_allclose(out, ref_out, atol=2e-4)
+
+
+def test_forward_inference_dirichlet_parity():
+    """Design-mode sampling forward: Dirichlet conditional-flow transform of the
+    simplex channels (latent_model.py:276-326) — ours is device-resident, the
+    reference interpolates scipy betainc tables on the host."""
+    args = make_args(prepend_ipa=True, sim_condition=False, inpainting=True, design=True)
+    torch.manual_seed(5)
+    ref = FixedRef(args, 48).eval()
+    cfg = make_cfg(args)
+    mine = LatentMDGen(cfg, 48)
+
+    B, T, L = 1, args.num_frames, args.crop
+    rng2 = np.random.default_rng(11)
+    x_cont = rng2.normal(size=(B, T, L, 28)).astype(np.float32)
+    x_disc = rng2.dirichlet(np.ones(20), size=(B, L)).astype(np.float32)
+    x_disc = np.broadcast_to(x_disc[:, None], (B, T, L, 20))
+    x = np.concatenate([x_cont, x_disc], -1)
+    t = np.full((B,), 0.45, np.float32)
+    mask = np.ones((B, T, L), np.float32)
+    x_cond = rng2.normal(size=(B, T, L, 28)).astype(np.float32)
+    x_cond_mask = np.zeros((B, T, L), np.int64)
+    aatype = rng2.integers(0, 20, size=(B, L))
+    rots, trans = random_frames((B, L))
+    ref_r = RefRigid(RefRotation(rot_mats=torch.tensor(rots)), torch.tensor(trans))
+    with torch.no_grad():
+        ref_out = ref.forward_inference(
+            torch.tensor(x), torch.tensor(t), torch.tensor(mask), start_frames=ref_r,
+            end_frames=ref_r, x_cond=torch.tensor(x_cond),
+            x_cond_mask=torch.tensor(x_cond_mask), aatype=torch.tensor(aatype),
+        ).numpy()
+    params = convert_state_dict({k: v.numpy() for k, v in ref.state_dict().items()})
+    out = np.asarray(mine.apply(
+        params, jnp.asarray(x), jnp.asarray(t), jnp.asarray(mask),
+        method=mine.forward_inference,
+        start_frames=Rigid(jnp.asarray(rots), jnp.asarray(trans)),
+        end_frames=Rigid(jnp.asarray(rots), jnp.asarray(trans)),
+        x_cond=jnp.asarray(x_cond), x_cond_mask=jnp.asarray(x_cond_mask),
+        aatype=jnp.asarray(aatype),
+    ))
+    # continuous channels: exact model parity
+    np.testing.assert_allclose(out[..., :28], ref_out[..., :28], atol=2e-4)
+    # simplex-flow channels: same conditional-flow field (table interp tolerance)
+    scale = np.abs(ref_out[..., 28:]).max()
+    np.testing.assert_allclose(out[..., 28:], ref_out[..., 28:], atol=2e-3 * max(scale, 1.0))
