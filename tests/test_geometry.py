@@ -137,3 +137,28 @@ def test_roundtrip_consistency():
     # chi torsions round-trip exactly; omega/phi cross residues and are only
     # defined for chain-consistent coordinates, so restrict to psi + chis
     assert np.abs(err[..., 2:, :]).max() < 1e-3
+
+
+def test_featurize_batch_matches_reference_dataset_path():
+    """On-device featurizer == the reference dataset's CPU featurization
+    (src/mdgen/dataset.py:73-91) for the same atom14 window."""
+    from mdgen_finetune_tpu.data.featurize import featurize_atom14_batch
+
+    atom14, aatype, _, _ = _random_atom14(T=4, L=5)
+    # reference path (torch)
+    frames_ref = ref_geom.atom14_to_frames(torch.tensor(atom14))
+    atom37_ref = torch.tensor(ref_geom.atom14_to_atom37(atom14, torch.tensor(aatype)))
+    torsions_ref, torsion_mask_ref = ref_geom.atom37_to_torsions(atom37_ref, torch.tensor(aatype))
+
+    feats = featurize_atom14_batch(
+        jnp.asarray(atom14[None]), jnp.asarray(aatype[0][None]), jnp.ones((1, 5), jnp.float32)
+    )
+    np.testing.assert_allclose(
+        np.asarray(feats["rots"])[0], frames_ref.get_rots().get_rot_mats().numpy(), atol=1e-4
+    )
+    np.testing.assert_allclose(np.asarray(feats["trans"])[0], frames_ref.get_trans().numpy(), atol=1e-5)
+    m = torsion_mask_ref.numpy()[..., None]
+    np.testing.assert_allclose(
+        np.asarray(feats["torsions"])[0] * m, torsions_ref.numpy() * m, atol=2e-4
+    )
+    np.testing.assert_allclose(np.asarray(feats["torsion_mask"])[0], torsion_mask_ref.numpy()[0], atol=1e-6)
