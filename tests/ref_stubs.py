@@ -56,7 +56,33 @@ class RotaryEmbedding(torch.nn.Module):
         )
 
 
+def _stub_module(name, **attrs):
+    if name in sys.modules:
+        return
+    try:
+        __import__(name)
+        return
+    except ImportError:
+        pass
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+
+
 def install():
+    # pytorch_lightning: only LightningModule subclassing is exercised by
+    # wrapper.prep_batch parity tests
+    class _LightningModule(torch.nn.Module):
+        def save_hyperparameters(self, *a, **k):
+            pass
+
+    _stub_module(
+        "pytorch_lightning",
+        LightningModule=_LightningModule,
+        Trainer=object,
+    )
+    _stub_module("wandb", log=lambda *a, **k: None, init=lambda *a, **k: None)
     if "torchdiffeq" not in sys.modules:
         try:
             import torchdiffeq  # noqa: F401

@@ -41,6 +41,7 @@ def make_args(**kw):
         alpha_max=8, dirichlet_flow_temp=1.0, allow_nan_cfactor=False,
         no_torsion=False, supervise_all_torsions=False, supervise_no_torsions=False,
         design_key_frames=False, no_design_torsion=False, no_offsets=False, no_frames=False,
+        path_type="GVP", prediction="velocity", ema=False,
     )
     d.update(kw)
     return types.SimpleNamespace(**d)
@@ -61,6 +62,11 @@ def make_cfg(args):
             sim_condition=args.sim_condition, tps_condition=args.tps_condition,
             inpainting=args.inpainting, design=args.design, dynamic_mpnn=args.dynamic_mpnn,
             mpnn=args.mpnn, cond_interval=args.cond_interval,
+            design_key_frames=args.design_key_frames, no_torsion=args.no_torsion,
+            no_design_torsion=args.no_design_torsion,
+            supervise_all_torsions=args.supervise_all_torsions,
+            supervise_no_torsions=args.supervise_no_torsions,
+            no_offsets=args.no_offsets, no_frames=args.no_frames,
         ),
     )
 
