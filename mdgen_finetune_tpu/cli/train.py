@@ -22,6 +22,8 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     add_train_args(parser)
     parser.add_argument("--steps_per_epoch", type=int, default=None)
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="write a jax.profiler trace of the first epoch's steps here")
     a = parser.parse_args(argv)
     cfg = args_to_config(a)
 
@@ -51,9 +53,12 @@ def main(argv=None):
 
     val_step = jax.jit(lambda params, batch, key: trainer._loss_fn(params, key, batch)[1])
 
+    from ..utils.logging import profile_trace
+
     for epoch in range(cfg.train.epochs):
         rng, sub = jax.random.split(rng)
-        state = trainer.fit(state, it, steps_per_epoch, sub, log_every=cfg.train.print_freq, log_fn=log_fn)
+        with profile_trace(a.profile_dir if epoch == 0 else None):
+            state = trainer.fit(state, it, steps_per_epoch, sub, log_every=cfg.train.print_freq, log_fn=log_fn)
 
         if cfg.task.design and a.inference_batches and (epoch + 1) % a.designability_freq == 0:
             # designability probe: sample and measure sequence recovery

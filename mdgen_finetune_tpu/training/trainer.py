@@ -160,6 +160,14 @@ class Trainer:
             device_batch = shard_batch(self.mesh, batch)
             state, metrics = step_fn(state, device_batch, key)
             if (i + 1) % log_every == 0 or i == num_steps - 1:
+                if jax.process_count() > 1:
+                    # multi-host: average scalars across processes
+                    # (replaces the reference's all_gather_object of log dicts,
+                    # src/mdgen/wrapper.py:22-28)
+                    from jax.experimental import multihost_utils
+
+                    metrics = multihost_utils.process_allgather(metrics)
+                    metrics = {k: float(np.mean(v)) for k, v in metrics.items()}
                 metrics = {k: float(v) for k, v in metrics.items()}
                 metrics.update(step=int(state.step), dur=time.time() - t_last)
                 t_last = time.time()
