@@ -110,3 +110,20 @@ def test_design_cli(env):
 
     rec = sequence_recovery(np.array([m["aa_out"] for m in meta])[:, 0], np.array([0, 5, 6, 8]))
     assert set(rec) >= {"design_recovery", "cond_recovery", "max_design_recovery"}
+
+
+def test_analyze_tps_cli(env):
+    """tps_inference output -> analyze_tps CLI -> validity/JSD metrics."""
+    out_dir = os.path.join(env["dir"], "tps_out")  # produced by test_tps_cli
+    if not os.path.exists(os.path.join(out_dir, "AGHK_metadata.json")):
+        pytest.skip("tps output fixture missing (test ordering)")
+    from mdgen_finetune_tpu.cli.analyze_tps import main
+
+    res_dir = os.path.join(env["dir"], "tps_analysis")
+    main(["--pdbdir", out_dir, "--outdir", res_dir, "--save"])
+    import pickle
+
+    with open(os.path.join(res_dir, "AGHK.pkl"), "rb") as f:
+        res = pickle.load(f)
+    assert {"gen_prob", "gen_valid_rate", "gen_JSD"} <= set(res)
+    assert 0 <= res["gen_valid_rate"] <= 1
