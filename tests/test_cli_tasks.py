@@ -127,3 +127,28 @@ def test_analyze_tps_cli(env):
         res = pickle.load(f)
     assert {"gen_prob", "gen_valid_rate", "gen_JSD"} <= set(res)
     assert 0 <= res["gen_valid_rate"] <= 1
+
+
+def test_analyze_design_cli(env, capsys):
+    out_dir = os.path.join(env["dir"], "design_out")  # produced by test_design_cli
+    if not os.path.exists(os.path.join(out_dir, "AGHK_metadata.json")):
+        pytest.skip("design output fixture missing (test ordering)")
+    from mdgen_finetune_tpu.cli.analyze_design import main
+
+    main(["--pdbdir", out_dir])
+    out = capsys.readouterr().out
+    assert "design_recovery" in out and "MEAN" in out
+
+
+def test_analyze_upsampling_cli(env):
+    out_dir = os.path.join(env["dir"], "ups_out")  # produced by test_upsampling_cli
+    if not os.path.exists(os.path.join(out_dir, "AGHK.pdb")):
+        pytest.skip("upsampling output fixture missing (test ordering)")
+    from mdgen_finetune_tpu.cli.analyze_upsampling import main
+
+    main(["--mddir", env["data_dir"], "--pdbdir", out_dir])
+    import pickle
+
+    with open(os.path.join(out_dir, "AGHK_autocorr.pkl"), "rb") as f:
+        res = pickle.load(f)
+    assert set(res) == {"md_autocorr", "our_autocorr", "subsample_autocorr"}
