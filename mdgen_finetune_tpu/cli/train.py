@@ -72,7 +72,12 @@ def main(argv=None):
             feats = featurize_atom14_batch(vb["atom14"], vb["seqres"], vb["mask"])
             rng, key = jax.random.split(rng)
             _, aa_out = engine.sample(feats, key)
-            rec = sequence_recovery(np.asarray(aa_out)[:, 0], np.asarray(vb["seqres"][0]))
+            # val batches mix peptides: score each element against its OWN
+            # ground truth, then average (not everything vs seqres[0])
+            aa = np.asarray(aa_out)[:, 0]
+            seqs = np.asarray(vb["seqres"])
+            recs = [sequence_recovery(aa[i : i + 1], seqs[i]) for i in range(aa.shape[0])]
+            rec = {k: float(np.mean([r[k] for r in recs])) for k in recs[0]}
             log_fn({f"designability_{k}": v for k, v in rec.items()} | {"epoch": epoch})
 
         if not a.no_validate and (epoch + 1) % a.val_epoch_freq == 0:

@@ -44,6 +44,7 @@ class TransportConfig:
 
     path_type: str = "GVP"  # Linear | GVP | VP
     prediction: str = "velocity"  # velocity | score | noise
+    loss_weight: str = "none"  # none | velocity | likelihood (noise/score only)
     sampling_method: str = "dopri5"  # dopri5 | euler | heun
     inference_steps: int = 100  # fixed-step count for euler/heun
     alpha_max: float = 8.0

@@ -195,6 +195,15 @@ bool parse_npy(const char* path, Traj* out) {
     munmap((void*)base, st.st_size);
     return false;
   }
+  // reject truncated/inconsistent files: the mmap must cover the declared
+  // shape, or workers would read out of bounds (SIGBUS/garbage)
+  size_t itemsize = out->is_f16 ? 2 : 4;
+  size_t need = header_off + header_len +
+                (size_t)dims[0] * (size_t)dims[1] * 14 * 3 * itemsize;
+  if ((size_t)st.st_size < need) {
+    munmap((void*)base, st.st_size);
+    return false;
+  }
   out->map_base = base;
   out->mapped_size = st.st_size;
   out->data = base + header_off + header_len;
@@ -237,8 +246,13 @@ int ld_add_traj(void* handle, const char* path, const int32_t* aatype, int64_t L
 int ld_start(void* handle, int64_t n_threads) {
   auto* ld = (Loader*)handle;
   if (ld->trajs.empty()) return -1;
-  for (int64_t i = 0; i < (n_threads > 0 ? n_threads : 1); i++)
-    ld->workers.emplace_back([ld, i] { ld->worker(ld->rng() + i); });
+  for (int64_t i = 0; i < (n_threads > 0 ? n_threads : 1); i++) {
+    // draw the seed on the main thread: ld->rng is not thread-safe, and
+    // calling it from inside the new threads would race (and could hand
+    // several workers identical seeds -> duplicate batches)
+    uint64_t s = ld->rng() + (uint64_t)i;
+    ld->workers.emplace_back([ld, s] { ld->worker(s); });
+  }
   return 0;
 }
 

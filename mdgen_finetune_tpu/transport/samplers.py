@@ -202,8 +202,13 @@ def sample_sde(
     (src/mdgen/transport/transport.py:294-405, integrators.py:26-45).
 
     ``drift`` here is the *SDE* drift: pf-ODE drift + diffusion * score.
+
+    Integrates the full [t0, t1] (the caller passes t1 = 1 - last_step_size),
+    then takes one final step of size ``last_step_size`` evaluated at t1 —
+    matching the reference, which integrates to t1 and steps beyond
+    (src/mdgen/transport/transport.py:313-344, integrators.py:26-45).
     """
-    dt = (t1 - t0 - last_step_size) / num_steps
+    dt = (t1 - t0) / num_steps
     ts = t0 + dt * jnp.arange(num_steps, dtype=x.dtype)
     keys = jax.random.split(key, num_steps)
 
@@ -235,7 +240,7 @@ def sample_sde(
     step = em_step if method == "Euler" else heun_step
     x, _ = jax.lax.scan(step, x, (ts, keys))
 
-    t_last = _tvec(t1 - last_step_size, x)
+    t_last = _tvec(t1, x)
     if last_step == "Mean":
         x = x + sde_drift(x, t_last) * last_step_size
     elif last_step == "Euler":

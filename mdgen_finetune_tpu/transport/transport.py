@@ -118,10 +118,23 @@ class Transport:
                 terms["loss"] = mean_flat((model_output - ut) ** 2, mask)
             else:
                 sigma_t, _ = self.path.sigma(te)
+                # WeightType weighting for noise/score objectives
+                # (src/mdgen/transport/transport.py:190-201)
+                lw = cfg.transport.loss_weight
+                if lw == "velocity":
+                    _, drift_var = self.path.drift(xt, te)
+                    weight = (drift_var / sigma_t) ** 2
+                elif lw == "likelihood":
+                    _, drift_var = self.path.drift(xt, te)
+                    weight = drift_var / (sigma_t**2)
+                elif lw == "none":
+                    weight = 1.0
+                else:
+                    raise NotImplementedError(f"loss_weight={lw}")
                 if self.prediction == "noise":
-                    terms["loss"] = mean_flat((model_output - x0) ** 2, mask)
+                    terms["loss"] = mean_flat(weight * (model_output - x0) ** 2, mask)
                 else:  # score
-                    terms["loss"] = mean_flat((model_output * sigma_t + x0) ** 2, mask)
+                    terms["loss"] = mean_flat(weight * (model_output * sigma_t + x0) ** 2, mask)
 
         if cfg.task.design:
             if cfg.task.dynamic_mpnn or cfg.task.mpnn:
@@ -205,7 +218,7 @@ class Transport:
                 last_step_size=last_step_size,
             )
             if last_step == "Tweedie":
-                tv = jnp.full((x.shape[0],), t1 - last_step_size, x.dtype)
+                tv = jnp.full((x.shape[0],), t1, x.dtype)
                 te = expand_t(tv, out)
                 alpha, _ = self.path.alpha(te)
                 sigma, _ = self.path.sigma(te)

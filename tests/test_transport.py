@@ -149,3 +149,20 @@ def test_likelihood_ode_linear_drift():
     # reversed integration: x0 = x1 * exp(-a); divergence integral = a * dim
     np.testing.assert_allclose(np.asarray(x0), np.asarray(x1) * np.exp(-a), rtol=3e-3)
     np.testing.assert_allclose(np.asarray(delta_logp).mean(), a * dim, rtol=0.05)
+
+
+def test_sde_terminal_time_pinned():
+    """Constant drift, zero diffusion: total displacement must be exactly
+    (t1 - t0) + last_step_size — the reference integrates the full [t0, t1]
+    then steps last_step_size beyond (ADVICE r1 medium: no double-counting)."""
+    from mdgen_finetune_tpu.transport.samplers import sample_sde
+
+    c = 2.0
+    drift = lambda x, t: jnp.full_like(x, c)
+    zero = lambda x, te: jnp.zeros_like(x)
+    x = jnp.zeros((2, 4))
+    t0, t1, s = 0.0, 0.96, 0.04
+    for last in ["Mean", "Euler"]:
+        out = sample_sde(drift, zero, zero, jax.random.key(0), x,
+                         t0=t0, t1=t1, num_steps=16, last_step=last, last_step_size=s)
+        np.testing.assert_allclose(np.asarray(out), c * ((t1 - t0) + s), atol=1e-5)
