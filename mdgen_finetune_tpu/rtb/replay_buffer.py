@@ -1,6 +1,7 @@
-"""Host-side replay buffer (src/rtb_utils/replay_buffer.py:29-59): deque of
-(x, log_r, loss) with uniform or reward-softmax sampling and a 1/4
-high-reward mix."""
+"""Host-side replay buffer (src/rtb_utils/replay_buffer.py:9-66): deque of
+(x, log_r, loss) with uniform or reward-softmax sampling; the ``reward``
+strategy fills the first quarter of the batch with reward-softmax draws and
+the rest with uniform draws (replay_buffer.py:50-58)."""
 from __future__ import annotations
 
 from collections import deque
@@ -9,9 +10,10 @@ import numpy as np
 
 
 class ReplayBuffer:
-    def __init__(self, capacity: int = 1000, mode: str = "uniform", seed: int = 0):
+    def __init__(self, capacity: int = 1000, mode: str = "uniform", beta: float = 1.0, seed: int = 0):
         self.buf = deque(maxlen=capacity)
         self.mode = mode
+        self.beta = beta
         self.rng = np.random.default_rng(seed)
 
     def add(self, x: np.ndarray, log_r: np.ndarray, loss: np.ndarray):
@@ -21,21 +23,30 @@ class ReplayBuffer:
     def __len__(self):
         return len(self.buf)
 
-    def sample(self, n: int):
-        if not self.buf:
-            raise ValueError("empty replay buffer")
-        log_rs = np.array([b[1] for b in self.buf])
-        if self.mode == "reward":
-            p = np.exp(log_rs - log_rs.max())
-            p = p / p.sum()
-            idx = self.rng.choice(len(self.buf), n, p=p)
-        else:
-            idx = self.rng.choice(len(self.buf), n)
-        # mix in 1/4 highest-reward samples (replay_buffer.py:50-55)
-        k = max(n // 4, 1) if n >= 4 else 0
-        if k:
-            top = np.argsort(log_rs)[-k:]
-            idx[:k] = top
+    def _gather(self, idx):
         xs = np.stack([self.buf[i][0] for i in idx])
         lrs = np.array([self.buf[i][1] for i in idx], dtype=np.float32)
         return xs, lrs
+
+    def sample_uniform(self, n: int):
+        return self._gather(self.rng.integers(len(self.buf), size=n))
+
+    def sample_reward(self, n: int):
+        """Sample proportional to exp(beta * log_r) (replay_buffer.py:29-36)."""
+        log_rs = np.array([b[1] for b in self.buf]) * self.beta
+        p = np.exp(log_rs - log_rs.max())
+        p = p / p.sum()
+        return self._gather(self.rng.choice(len(self.buf), n, p=p))
+
+    def sample(self, n: int):
+        if not self.buf:
+            raise ValueError("empty replay buffer")
+        if self.mode == "uniform":
+            return self.sample_uniform(n)
+        if self.mode == "reward":
+            xs, lrs = self.sample_reward(n)
+            xu, lu = self.sample_uniform(n)
+            k = n // 4  # 1/4 high-reward mix (replay_buffer.py:50-58)
+            xs[k:], lrs[k:] = xu[k:], lu[k:]
+            return xs, lrs
+        raise ValueError(f"invalid replay-buffer sample strategy {self.mode!r}")

@@ -49,10 +49,21 @@ class RTBConfig:
     vargrad: bool = False
     learning_cutoff: float = 0.1
     detach_freq: float = 0.0
+    detach_cut_off: float = 1.0
     lora_rank: int = 32
     replay_buffer: bool = False
     rb_size: int = 1000
     rb_ratio: float = 0.25
+    rb_strategy: str = "uniform"  # uniform | reward (1/4 high-reward mix)
+    rb_beta: float = 1.0
+    prior_sampling: bool = False  # src/rtb_utils/args.py:83-84
+    prior_sampling_ratio: float = 0.1
+    back_and_forth: bool = False  # src/rtb_utils/args.py:76
+    bf_freq: int = 4  # do a back-and-forth exploration step every bf_freq iters
+    bf_noise_level: float = 0.5
+    langevin: bool = False  # reward-gradient policy correction (samplers.py:120-171)
+    lgv_scale: float = 0.01
+    lgv_clip: float = 1e2
     grad_clip: float = 1.0
     seed: int = 0
     reward_temperature: float = 1.0
@@ -68,7 +79,12 @@ class RTBTrainer:
         policy_params: Optional[dict] = None,
         workdir: str = "workdir/rtb",
         reward_on_device: bool = True,
+        lgv_log_reward_fn: Optional[Callable] = None,
     ):
+        """``lgv_log_reward_fn``: differentiable latents -> (B,) log-reward
+        proxy used for the Langevin correction when rtb.langevin is set (the
+        reference's lgv classifier, src/models/samplers.py:120-171; here
+        typically the SurrogateReward composed with the on-device decode)."""
         self.cfg = cfg
         self.rtb = rtb
         self.prior_sim = prior_sim
@@ -96,6 +112,17 @@ class RTBTrainer:
             merged = {**self.policy_params, "params": lora_merge(self.policy_params["params"], lora)}
             return policy_apply(merged, x, t, condition)
 
+        langevin_fn = None
+        if rtb.langevin:
+            if lgv_log_reward_fn is None:
+                raise ValueError("rtb.langevin=True requires lgv_log_reward_fn")
+
+            def langevin_fn(x, t):
+                g = jax.grad(lambda y: jnp.sum(lgv_log_reward_fn(y)))(x)
+                g = jnp.nan_to_num(g)
+                g = jnp.clip(g, -rtb.lgv_clip, rtb.lgv_clip)
+                return rtb.lgv_scale * jax.lax.stop_gradient(g)
+
         self.sampler = PosteriorPriorDGFN(
             scheduler=self.scheduler,
             prior_fn=prior_fn,
@@ -103,6 +130,7 @@ class RTBTrainer:
             dim=prior_sim.latent_shape,
             sampling_length=rtb.sampling_length,
             xT_type=rtb.xT_type,
+            langevin_fn=langevin_fn,
         )
 
         key = jax.random.key(rtb.seed)
@@ -116,24 +144,40 @@ class RTBTrainer:
             ),
         )
         self.opt_state = self.opt.init({"lora": self.lora, "logZ": self.logZ})
-        self.replay = ReplayBuffer(rtb.rb_size, seed=rtb.seed) if rtb.replay_buffer else None
+        self.replay = (
+            ReplayBuffer(rtb.rb_size, mode=rtb.rb_strategy, beta=rtb.rb_beta, seed=rtb.seed)
+            if rtb.replay_buffer
+            else None
+        )
         self.reward_on_device = reward_on_device
+        self._host_rng = np.random.default_rng(rtb.seed + 7)
+        self._last_x = None  # terminal samples stash for back-and-forth exploration
         self._fused_grad_jit = None
-        self._fwd_jit = jax.jit(self._forward, static_argnames=("batch_size",))
+        self._bkw_grad_jit = None
+        self._bf_grad_jit = None
+        self._fwd_jit = jax.jit(
+            self._forward, static_argnames=("batch_size", "sample_from_prior")
+        )
         self._grad_jit = jax.jit(
-            jax.value_and_grad(self._loss, has_aux=True), static_argnames=("batch_size",)
+            jax.value_and_grad(self._loss, has_aux=True),
+            static_argnames=("batch_size", "sample_from_prior"),
         )
 
     # ------------------------------------------------------------------
-    def _forward(self, lora, key, condition, batch_size: int):
+    def _forward(self, lora, key, condition, batch_size: int, sample_from_prior: bool = False):
         return self.sampler.sample_fwd(
-            key, lora, condition, batch_size, detach_freq=self.rtb.detach_freq
+            key, lora, condition, batch_size,
+            detach_freq=self.rtb.detach_freq, detach_cut_off=self.rtb.detach_cut_off,
+            sample_from_prior=sample_from_prior,
         )
 
-    def _loss(self, trainables, key, condition, logr, batch_size, peptide_ids=None):
+    def _loss(self, trainables, key, condition, logr, batch_size, peptide_ids=None,
+              sample_from_prior: bool = False):
         """Recomputes the trajectory under the same key so grads flow; returns RTB loss."""
         res = self.sampler.sample_fwd(
-            key, trainables["lora"], condition, batch_size, detach_freq=self.rtb.detach_freq
+            key, trainables["lora"], condition, batch_size,
+            detach_freq=self.rtb.detach_freq, detach_cut_off=self.rtb.detach_cut_off,
+            sample_from_prior=sample_from_prior,
         )
         log_pf_ref = res["logpb"] if self.rtb.method == "tb" else res["logpf_prior"]
         if self.rtb.vargrad:
@@ -166,12 +210,15 @@ class RTBTrainer:
             lambda v: jnp.repeat(v, B // v.shape[0], axis=0) if v.shape[0] != B else v, tree
         )
 
-    def _fused_loss(self, trainables, key, condition, batch_rep, seqres, batch_size):
+    def _fused_loss(self, trainables, key, condition, batch_rep, seqres, batch_size,
+                    sample_from_prior: bool = False):
         """Single-pass variant for device-computable rewards: sampler + decode
         + reward + loss in one jit (the trajectory is sampled once, not
         re-run for the gradient)."""
         res = self.sampler.sample_fwd(
-            key, trainables["lora"], condition, batch_size, detach_freq=self.rtb.detach_freq
+            key, trainables["lora"], condition, batch_size,
+            detach_freq=self.rtb.detach_freq, detach_cut_off=self.rtb.detach_cut_off,
+            sample_from_prior=sample_from_prior,
         )
         atom14, _ = self.prior_sim.engine._sample_with_zs0(
             self.prior_sim.engine.params, batch_rep, jax.lax.stop_gradient(res["x"])
@@ -192,9 +239,60 @@ class RTBTrainer:
         }
         return jnp.mean(loss), aux
 
+    def _bkw_loss(self, trainables, key, condition, x0, logr):
+        """Replay-buffer training objective: backward trajectories from stored
+        terminal samples, RTB loss against the stored log-reward
+        (src/rtb_utils/gfn_diffusion.py:406-412 + samplers.py sample_bkw)."""
+        res = self.sampler.sample_bkw(
+            key, trainables["lora"], condition, x0, detach_freq=self.rtb.detach_freq
+        )
+        log_pf_ref = res["logpb"] if self.rtb.method == "tb" else res["logpf_prior"]
+        if self.rtb.vargrad:
+            logZ = jnp.mean(vargrad_logz(res["logpf_posterior"], log_pf_ref, logr))
+        else:
+            logZ = trainables["logZ"]
+        loss = rtb_loss(res["logpf_posterior"], logZ, log_pf_ref, logr, self.rtb.learning_cutoff)
+        aux = {
+            "loss_vec": loss,
+            "logZ": jnp.mean(logZ),
+            "pf_divergence": jnp.mean(res["logpf_posterior"] - res["logpf_prior"]),
+        }
+        return jnp.mean(loss), aux
+
+    def _bf_loss(self, trainables, key, condition, batch_rep, seqres, x):
+        """Back-and-forth exploration objective: renoise good terminal samples
+        over part of the chain, resample forward, train on the local logZ-free
+        RTB loss (reference flag src/rtb_utils/args.py:76; its sampler_step
+        raises NotImplementedError — see samplers.back_and_forth_loss)."""
+        from .samplers import back_and_forth_loss
+
+        res = self.sampler.sample_back_and_forth(
+            key, trainables["lora"], condition, x, noise_level=self.rtb.bf_noise_level
+        )
+        a14_x, _ = self.prior_sim.engine._sample_with_zs0(
+            self.prior_sim.engine.params, batch_rep, jax.lax.stop_gradient(res["x"])
+        )
+        a14_xp, _ = self.prior_sim.engine._sample_with_zs0(
+            self.prior_sim.engine.params, batch_rep, jax.lax.stop_gradient(res["x_prime"])
+        )
+        logr_x = jax.lax.stop_gradient(jnp.asarray(self.reward_fn(a14_x, seqres)))
+        logr_xp = jax.lax.stop_gradient(jnp.asarray(self.reward_fn(a14_xp, seqres)))
+        loss = back_and_forth_loss(res, logr_x, logr_xp, self.rtb.learning_cutoff)
+        aux = {
+            "loss_vec": loss,
+            "logZ": trainables["logZ"] * jnp.ones(()),
+            "pf_divergence": jnp.mean(res["logpf_posterior_f"] - res["logpf_prior_f"]),
+            "logr": logr_xp,
+            "x": res["x_prime"],
+        }
+        return jnp.mean(loss), aux
+
     # ------------------------------------------------------------------
     def step(self, it: int, key) -> dict:
-        """One RTB iteration (src/rtb_utils/gfn_diffusion.py:391-491)."""
+        """One RTB iteration (src/rtb_utils/gfn_diffusion.py:391-491):
+        regular forward RTB, with probabilistic replay-buffer draws
+        (gfn_diffusion.py:406-408), optional prior-sampling stabilization
+        (args.py:83-84), and periodic back-and-forth exploration."""
         k_sample, k_grad = jax.random.split(jax.random.fold_in(key, it))
         condition, batch = self.prior_sim.get_cond_args()
         B = self.rtb.batch_size
@@ -202,31 +300,77 @@ class RTBTrainer:
         batch_rep = self._replicate({k: v for k, v in batch.items() if k != "name"}, B)
         trainables = {"lora": self.lora, "logZ": self.logZ}
 
+        # ---- replay-buffer training draw (reference: it > batch_size gate) ----
+        use_replay = (
+            self.replay is not None
+            and it > self.rtb.batch_size
+            and len(self.replay) >= B
+            and self._host_rng.random() < self.rtb.rb_ratio
+        )
+        if use_replay:
+            x0, logr = self.replay.sample(B)
+            if self._bkw_grad_jit is None:
+                self._bkw_grad_jit = jax.jit(jax.value_and_grad(self._bkw_loss, has_aux=True))
+            (loss, aux), grads = self._bkw_grad_jit(
+                trainables, k_sample, condition, jnp.asarray(x0), jnp.asarray(logr)
+            )
+            return self._apply_update(trainables, grads, aux, loss, jnp.asarray(logr), None)
+
+        # ---- back-and-forth exploration step ----
+        if (
+            self.rtb.back_and_forth
+            and self._last_x is not None
+            and it % self.rtb.bf_freq == self.rtb.bf_freq - 1
+        ):
+            if self._bf_grad_jit is None:
+                self._bf_grad_jit = jax.jit(jax.value_and_grad(self._bf_loss, has_aux=True))
+            (loss, aux), grads = self._bf_grad_jit(
+                trainables, k_sample, condition, batch_rep, batch["seqres"][0], self._last_x
+            )
+            self._last_x = jax.lax.stop_gradient(aux["x"])
+            return self._apply_update(trainables, grads, aux, loss, aux["logr"], None)
+
+        sample_from_prior = bool(
+            self.rtb.prior_sampling and self._host_rng.random() < self.rtb.prior_sampling_ratio
+        )
+
         if self.reward_on_device:
             if self._fused_grad_jit is None:
                 self._fused_grad_jit = jax.jit(
                     jax.value_and_grad(self._fused_loss, has_aux=True),
-                    static_argnames=("batch_size",),
+                    static_argnames=("batch_size", "sample_from_prior"),
                 )
             (loss, aux), grads = self._fused_grad_jit(
-                trainables, k_sample, condition, batch_rep, batch["seqres"][0], batch_size=B
+                trainables, k_sample, condition, batch_rep, batch["seqres"][0],
+                batch_size=B, sample_from_prior=sample_from_prior,
             )
             logr, zs0 = aux["logr"], aux["x"]
         else:
             # host reward (OpenMM): sample -> decode -> reward -> re-run with grads
-            res = self._fwd_jit(self.lora, k_sample, condition, batch_size=B)
+            res = self._fwd_jit(
+                self.lora, k_sample, condition, batch_size=B, sample_from_prior=sample_from_prior
+            )
             zs0 = res["x"]
             atom14, _ = self.prior_sim.sample(batch_rep, zs0)
             logr = jnp.asarray(self.reward_fn(atom14, batch["seqres"][0]))
-            (loss, aux), grads = self._grad_jit(trainables, k_sample, condition, logr, B)
+            (loss, aux), grads = self._grad_jit(
+                trainables, k_sample, condition, logr, B, sample_from_prior=sample_from_prior
+            )
+        return self._apply_update(trainables, grads, aux, loss, logr, zs0)
+
+    def _apply_update(self, trainables, grads, aux, loss, logr, zs0) -> dict:
         updates, self.opt_state = self.opt.update(grads, self.opt_state, trainables)
         new_trainables = optax.apply_updates(trainables, updates)
         self.lora, self.logZ = new_trainables["lora"], new_trainables["logZ"]
         if self.rtb.vargrad:
             self.logZ = aux["logZ"]
 
-        if self.replay is not None:
-            self.replay.add(np.asarray(zs0), np.asarray(logr), np.asarray(aux["loss_vec"]))
+        if zs0 is not None:
+            self._last_x = zs0
+            if self.replay is not None:
+                # only fresh samples enter the buffer (x_0 is None in the
+                # reference, gfn_diffusion.py:463-465)
+                self.replay.add(np.asarray(zs0), np.asarray(logr), np.asarray(aux["loss_vec"]))
 
         return {
             "loss": float(loss),

@@ -132,11 +132,106 @@ def test_surrogate_reward_prefers_ideal_geometry():
 
 
 def test_sample_back_and_forth():
+    from mdgen_finetune_tpu.rtb.samplers import back_and_forth_loss
+
     sampler = _toy_sampler()
     res0 = sampler.sample_fwd(jax.random.key(0), jnp.zeros(()), {}, batch_size=3)
     res = sampler.sample_back_and_forth(jax.random.key(1), jnp.zeros(()), {}, res0["x"], noise_level=0.5)
-    assert res["x"].shape == res0["x"].shape
-    assert np.isfinite(np.asarray(res["logpf_posterior"])).all()
+    assert res["x_prime"].shape == res0["x"].shape
+    for k in ["logpf_posterior_b", "logpf_prior_b", "logpf_posterior_f", "logpf_prior_f", "logpb_b"]:
+        assert np.isfinite(np.asarray(res[k])).all(), k
+    # zero adapter: posterior == prior on both segments
+    np.testing.assert_allclose(
+        np.asarray(res["logpf_posterior_f"]), np.asarray(res["logpf_prior_f"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(res["logpf_posterior_b"]), np.asarray(res["logpf_prior_b"]), rtol=1e-5
+    )
+    # the local loss is differentiable through the adapter
+    def loss(delta):
+        r = sampler.sample_back_and_forth(jax.random.key(1), delta, {}, res0["x"], noise_level=0.5)
+        return jnp.mean(back_and_forth_loss(r, jnp.ones(3), jnp.zeros(3)))
+
+    g = jax.grad(loss)(jnp.zeros(()))
+    assert np.isfinite(float(g)) and abs(float(g)) > 0
+
+
+def test_sample_bkw_prior_logpf_and_grads():
+    """Replay-path trajectory sampler: prior pf present, posterior == prior at
+    zero adapter, gradient reaches the adapter through the posterior pf."""
+    sampler = _toy_sampler()
+    x = jax.random.normal(jax.random.key(3), (4, 3, 2))
+    res = sampler.sample_bkw(jax.random.key(4), jnp.zeros(()), {}, x)
+    assert set(res) >= {"x", "xT", "logpb", "logpf_posterior", "logpf_prior"}
+    np.testing.assert_allclose(
+        np.asarray(res["logpf_posterior"]), np.asarray(res["logpf_prior"]), rtol=1e-5
+    )
+
+    def loss(delta):
+        r = sampler.sample_bkw(jax.random.key(4), delta, {}, x)
+        return jnp.mean(rtb_loss(r["logpf_posterior"], 0.0, r["logpf_prior"], jnp.ones(4)))
+
+    g = jax.grad(loss)(jnp.zeros(()))
+    assert np.isfinite(float(g)) and abs(float(g)) > 0
+
+
+def test_langevin_correction_shifts_samples():
+    """With log r(x) = -||x||^2 the correction -2*scale*x contracts samples
+    toward the origin relative to the uncorrected sampler."""
+    import dataclasses as _dc
+
+    base = _toy_sampler(sampling_length=8)
+    lgv = _dc.replace(base, langevin_fn=lambda x, t: jax.lax.stop_gradient(
+        0.5 * jax.grad(lambda y: -jnp.sum(y**2))(x)))
+    r0 = base.sample_fwd(jax.random.key(5), jnp.zeros(()), {}, batch_size=64)
+    r1 = lgv.sample_fwd(jax.random.key(5), jnp.zeros(()), {}, batch_size=64)
+    n0 = float(jnp.mean(jnp.sum(r0["x"] ** 2, axis=(1, 2))))
+    n1 = float(jnp.mean(jnp.sum(r1["x"] ** 2, axis=(1, 2))))
+    assert n1 < n0, (n1, n0)
+
+
+def test_baseline_sampler_guidance_improves_reward():
+    """DPS/FPS baseline (src/models/samplers.py:1016-1175): guidance moves
+    samples toward higher reward without any training."""
+    from mdgen_finetune_tpu.rtb.samplers import PosteriorPriorBaselineSampler
+
+    dim = (3, 2)
+    target = jnp.full((1, *dim), 1.5)
+    log_r = lambda x0: -jnp.sum((x0 - target) ** 2, axis=(1, 2))
+
+    def make(mc):
+        return PosteriorPriorBaselineSampler(
+            scheduler=DDPMGFNScheduler(num_train_timesteps=50),
+            prior_fn=lambda x, t, c: 0.01 * x,
+            dim=dim, sampling_length=8, scale=1.0, mc=mc, particles=4,
+        )
+
+    for mc in [False, True]:
+        s = make(mc)
+        unguided = s.sample(jax.random.key(6), {}, 32, log_reward_fn=log_r, sample_from_prior=True)
+        guided = s.sample(jax.random.key(6), {}, 32, log_reward_fn=log_r)
+        r_un = float(jnp.mean(log_r(unguided["x"])))
+        r_gd = float(jnp.mean(log_r(guided["x"])))
+        assert r_gd > r_un, (mc, r_gd, r_un)
+        assert np.isfinite(np.asarray(guided["logpf_posterior"])).all()
+
+
+def test_replay_buffer_strategies():
+    from mdgen_finetune_tpu.rtb.replay_buffer import ReplayBuffer
+
+    rng = np.random.default_rng(0)
+    xs = rng.normal(size=(40, 3)).astype(np.float32)
+    lrs = np.linspace(-10, 10, 40).astype(np.float32)
+    uni = ReplayBuffer(100, mode="uniform", seed=0)
+    uni.add(xs, lrs, np.zeros(40))
+    x, lr = uni.sample(8)
+    assert x.shape == (8, 3) and lr.shape == (8,)
+
+    rew = ReplayBuffer(100, mode="reward", beta=2.0, seed=0)
+    rew.add(xs, lrs, np.zeros(40))
+    draws = np.concatenate([rew.sample(8)[1] for _ in range(50)])
+    # reward-weighted mix must skew the draw distribution upward vs uniform
+    assert draws.mean() > lrs.mean() + 1.0
 
 
 def test_sde_sampler_with_tweedie():
