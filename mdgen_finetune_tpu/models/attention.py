@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.fused_attention import fused_attention
+from ..ops.residue_attention import residue_attention
+from ..ops.time_attention import time_attention
 from .layers import dense
 from .rope import apply_rope
 
@@ -36,9 +38,16 @@ class MultiheadAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
-        """x: (B, N, C); mask: (B, N) with 1 = valid. Returns (B, N, C)."""
-        B, N, C = x.shape
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None,
+                 axis: str = "time") -> jnp.ndarray:
+        """x: (B, N, C) with mask (B, N); or, for the factorized stages,
+        x: (B, T, L, C) — with axis="time" attention runs over T with (B, L)
+        as batch and mask (B, L, T); with axis="residue" it runs over L with
+        (B, T) as batch and mask (B, T, L). Both 4D paths stay in (B, T, L, C)
+        layout via the fused Pallas kernels (ops/time_attention.py,
+        ops/residue_attention.py) so no activation transpose happens.
+        1 = valid. Returns the same shape as x."""
+        C = x.shape[-1]
         H = self.num_heads
         D = C // H
 
@@ -50,6 +59,18 @@ class MultiheadAttention(nn.Module):
         bias_std = (2.0 / (1 + C)) ** 0.5
         bias_k = self.param("bias_k", nn.initializers.normal(bias_std), (1, 1, C))
         bias_v = self.param("bias_v", nn.initializers.normal(bias_std), (1, 1, C))
+
+        if x.ndim == 4:
+            if not self.use_rope:
+                raise NotImplementedError("4D factorized-attention paths assume RoPE")
+            attend = time_attention if axis == "time" else residue_attention
+            out = attend(
+                q, k, v, bias_k.astype(q.dtype), bias_v.astype(v.dtype), mask,
+                num_heads=H,
+            )
+            return dense(C, name="out_proj", dtype=self.dtype)(out)
+
+        B, N, C = x.shape
         k = jnp.concatenate([k, jnp.broadcast_to(bias_k.astype(k.dtype), (B, 1, C))], axis=1)
         v = jnp.concatenate([v, jnp.broadcast_to(bias_v.astype(v.dtype), (B, 1, C))], axis=1)
 

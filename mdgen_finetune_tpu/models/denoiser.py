@@ -115,25 +115,40 @@ class LatentMDGenLayer(nn.Module):
         # attention over residues, frames as batch
         residual = x
         x = modulate(layer_norm(x), sh_l, sc_l)
-        x = MultiheadAttention(
-            C, m.mha_heads, use_rope=not m.no_rope, name="mha_l", dtype=self.dtype
-        )(x.reshape(B * T, L, C), mask=mask.reshape(B * T, L)).reshape(B, T, L, C)
+        if m.no_rope:
+            x = MultiheadAttention(
+                C, m.mha_heads, use_rope=False, name="mha_l", dtype=self.dtype
+            )(x.reshape(B * T, L, C), mask=mask.reshape(B * T, L)).reshape(B, T, L, C)
+        else:
+            # 4D residue-attention path: stays in (B, T, L, C) layout
+            # (fused small-L Pallas kernel on TPU, ops/residue_attention.py)
+            x = MultiheadAttention(
+                C, m.mha_heads, use_rope=True, name="mha_l", dtype=self.dtype
+            )(x, mask=mask, axis="residue")
         x = residual + gate(x, g_l)
 
         # attention (or Hyena) over frames, residues as batch
         residual = x
         x = modulate(layer_norm(x), sh_t, sc_t)
-        xt = x.transpose(0, 2, 1, 3).reshape(B * L, T, C)
         if m.hyena:
+            xt = x.transpose(0, 2, 1, 3).reshape(B * L, T, C)
             xt = HyenaOperator(
                 d_model=C, l_max=self.cfg.data.num_frames, order=2,
                 filter_order=m.hyena_filter_order, name="mha_t", dtype=self.dtype,
             )(xt)
-        else:
+            x = xt.reshape(B, L, T, C).transpose(0, 2, 1, 3)
+        elif m.no_rope:
+            xt = x.transpose(0, 2, 1, 3).reshape(B * L, T, C)
             xt = MultiheadAttention(
-                C, m.mha_heads, use_rope=not m.no_rope, name="mha_t", dtype=self.dtype
+                C, m.mha_heads, use_rope=False, name="mha_t", dtype=self.dtype
             )(xt, mask=mask.transpose(0, 2, 1).reshape(B * L, T))
-        x = xt.reshape(B, L, T, C).transpose(0, 2, 1, 3)
+            x = xt.reshape(B, L, T, C).transpose(0, 2, 1, 3)
+        else:
+            # 4D frame-attention path: stays in (B, T, L, C) layout throughout
+            # (fused Pallas kernel on TPU, ops/time_attention.py)
+            x = MultiheadAttention(
+                C, m.mha_heads, use_rope=True, name="mha_t", dtype=self.dtype
+            )(x, mask=mask.transpose(0, 2, 1))
         x = residual + gate(x, g_t)
 
         residual = x

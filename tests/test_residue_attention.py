@@ -1,0 +1,63 @@
+"""Fused small-L residue-attention kernel: parity with the XLA reference
+composition (interpret mode on CPU) and gradient plumbing."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mdgen_finetune_tpu.ops.residue_attention import _pallas_fwd, _xla_impl, residue_attention
+
+
+def _inputs(B=2, T=10, L=4, C=32, seed=0, masked=False):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.normal(size=(B, T, L, C)), jnp.float32) * 0.5
+    k = jnp.asarray(rng.normal(size=(B, T, L, C)), jnp.float32) * 0.5
+    v = jnp.asarray(rng.normal(size=(B, T, L, C)), jnp.float32) * 0.5
+    bk = jnp.asarray(rng.normal(size=(1, 1, C)), jnp.float32) * 0.1
+    bv = jnp.asarray(rng.normal(size=(1, 1, C)), jnp.float32) * 0.1
+    if masked:
+        mask = jnp.asarray(rng.integers(0, 2, size=(B, T, L)), jnp.float32)
+        mask = mask.at[:, :, 0].set(1.0)
+    else:
+        mask = jnp.ones((B, T, L), jnp.float32)
+    return q, k, v, bk, bv, mask
+
+
+def test_kernel_matches_xla_reference():
+    for T, L, masked in [(10, 4, False), (10, 4, True), (300, 3, False), (16, 8, False)]:
+        q, k, v, bk, bv, mask = _inputs(T=T, L=L, masked=masked)
+        ref = _xla_impl(q, k, v, bk, bv, mask, 4)
+        got = _pallas_fwd(q, k, v, bk, bv, mask, 4, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4,
+            err_msg=f"T={T} L={L} masked={masked}",
+        )
+
+
+def test_residue_attention_grads_flow():
+    q, k, v, bk, bv, mask = _inputs()
+
+    def loss(q, k, v, bk, bv):
+        out = residue_attention(q, k, v, bk, bv, mask, num_heads=4)
+        return jnp.sum(out**2)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(q, k, v, bk, bv)
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).max()) > 0
+
+
+def test_mha_residue_4d_path_matches_3d_path():
+    from mdgen_finetune_tpu.models.attention import MultiheadAttention
+
+    B, T, L, C = 2, 6, 4, 32
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(B, T, L, C)), jnp.float32)
+    mask = jnp.ones((B, T, L), jnp.float32)
+    mha = MultiheadAttention(C, 4, use_rope=True)
+    params = mha.init(jax.random.key(0), x.reshape(B * T, L, C))
+
+    old = mha.apply(params, x.reshape(B * T, L, C), mask=mask.reshape(B * T, L))
+    old = old.reshape(B, T, L, C)
+    new = mha.apply(params, x, mask=mask, axis="residue")
+    np.testing.assert_allclose(np.asarray(new), np.asarray(old), atol=1e-5, rtol=1e-5)
