@@ -51,12 +51,19 @@ def to_pdb_lines(prot: Protein, model_idx: int | None = None) -> list[str]:
     return lines
 
 
-def atom37_traj_to_pdb(atom37: np.ndarray, aatype: np.ndarray, path: str):
-    """Multi-MODEL trajectory PDB (src/mdgen/utils.py:59-67 semantics)."""
+def atom37_traj_to_pdb(atom37: np.ndarray, aatype: np.ndarray, path: str,
+                       atom_mask: np.ndarray | None = None):
+    """Multi-MODEL trajectory PDB (src/mdgen/utils.py:59-67 semantics).
+
+    ``atom_mask`` (L, 37) selects which atoms exist; defaults to the residue
+    chemistry table (coordinate-based nonzero heuristics misfire when an atom
+    legitimately sits near the origin)."""
     aatype = np.asarray(aatype)
+    if atom_mask is None:
+        atom_mask = np.asarray(rc.RESTYPE_ATOM37_MASK)[aatype]
     lines = []
     for m, pos in enumerate(np.asarray(atom37)):
-        mask = (np.abs(pos).sum(-1) > 1e-7).astype(np.float32)
+        mask = np.asarray(atom_mask, np.float32)
         prot = Protein(
             atom_positions=pos, atom_mask=mask, aatype=aatype, residue_index=np.arange(len(aatype))
         )
@@ -76,6 +83,24 @@ def atom14_to_pdb(atom14: np.ndarray, aatype: np.ndarray, path: str):
         atom14_to_atom37(jnp.asarray(np.asarray(atom14)), jnp.asarray(np.broadcast_to(aat, (atom14.shape[0], len(aat)))))
     )
     atom37_traj_to_pdb(atom37, aat, path)
+
+
+def from_pdb_models(path: str) -> list:
+    """All MODELs of a PDB as [(aatype (L,), xyz (L*37-masked, 3) angstrom)]
+    — flat per-frame coordinate arrays in file order, the shape the reward's
+    target-distribution cache stores (reference keeps mdtraj's traj.xyz,
+    src/rtb_utils/rewards.py:148-152; here frames come from our own writer)."""
+    with open(path) as f:
+        text = f.read()
+    chunks = text.split("ENDMDL")
+    out = []
+    for chunk in chunks:
+        if "ATOM" not in chunk:
+            continue
+        prot = from_pdb_string(chunk)
+        sel = prot.atom_mask > 0.5
+        out.append((prot.aatype, prot.atom_positions[sel]))
+    return out
 
 
 def from_pdb_string(pdb_str: str) -> Protein:

@@ -67,43 +67,176 @@ class SurrogateReward:
         return -jnp.mean(e, axis=-1) / self.temperature
 
 
+def choose_platform() -> str:
+    """'CUDA' if OpenMM exposes it, else 'CPU' (src/rtb_utils/rewards.py:24-37).
+
+    On a TPU host OpenMM has no accelerator backend, so this resolves to CPU;
+    the TPU never blocks on the reward — RTBTrainer's host-reward path runs it
+    off the device step."""
+    from openmm import Platform
+
+    names = [Platform.getPlatform(i).getName() for i in range(Platform.getNumPlatforms())]
+    return "CUDA" if "CUDA" in names else "CPU"
+
+
 class Amber14Reward:
-    """OpenMM Amber14 potential-energy reward (src/rtb_utils/rewards.py:40-160)."""
+    """OpenMM Amber14 potential-energy reward over whole trajectories
+    (src/rtb_utils/rewards.py:40-160).
 
-    def __init__(self, temperature: float = 350.0, solvent: str = "implicit"):
-        try:
-            import openmm  # noqa: F401
-            from openmm import app  # noqa: F401
-        except ImportError as e:
-            raise ImportError(
-                "OpenMM is not installed; use SurrogateReward or install openmm for Amber14 energies"
-            ) from e
-        self.temperature = temperature
-        self.solvent = solvent
+    Matches the reference semantics: per-frame energies for every frame of
+    each peptide's trajectory in ``tmp_dir``, grouped by 4-letter peptide
+    prefix; implicit (amber14-all + gbn2, NoCutoff-equivalent createSystem,
+    HBonds constraints) or explicit solvent (tip3pfb, addSolvent 1 nm
+    padding, PME 1 nm cutoff, MonteCarloBarostat at 1 bar); hydrogens added
+    at pH 7; LangevinMiddleIntegrator at 350 K; platform = CUDA-if-available
+    (:24-37). Returns ``(logs, logrs)`` where ``logs[peptide]`` carries
+    {'log_r', 'x', 'torsions'} for the target-distribution cache
+    (src/rtb_utils/gfn_diffusion.py:296-310) and ``logrs`` aligns with
+    ``paths``. Trajectories ride as multi-MODEL PDB files written by
+    ``MDGenSimulator.fix_and_save_pdbs`` (no mdtraj/xtc dependency here).
 
-    def energy_from_pdb(self, pdb_path: str) -> np.ndarray:
+    ``energy_backend``: optional ``(aatype (L,), xyz37 (37*L?, 3) angstrom) -> float``
+    override so the grouping/caching/cleanup semantics are testable on hosts
+    without OpenMM; when unset, OpenMM is required at construction.
+    """
+
+    def __init__(
+        self,
+        platform: str | None = None,
+        implicit: bool = True,
+        friction_coeff: float = 1.0,
+        dt_fs: float = 2.0,
+        energy_temperature: float = 1.0,
+        energy_backend=None,
+        cleanup: bool = True,
+    ):
+        self.implicit = implicit
+        self.friction_coeff = friction_coeff
+        self.dt_fs = dt_fs
+        self.energy_temperature = energy_temperature
+        self.energy_backend = energy_backend
+        self.cleanup = cleanup
+        self.platform_name = platform
+        self._ff = None
+        if energy_backend is None:
+            try:
+                import openmm  # noqa: F401
+            except ImportError as e:
+                raise ImportError(
+                    "OpenMM is not installed; use SurrogateReward, or pass energy_backend="
+                ) from e
+            self.platform_name = platform or choose_platform()
+
+    # ------------------------------------------------------------------
+    def _forcefield(self):
+        from openmm.app import ForceField
+
+        if self._ff is None:
+            if self.implicit:
+                self._ff = ForceField("amber14-all.xml", "implicit/gbn2.xml")
+            else:
+                self._ff = ForceField("amber14-all.xml", "amber14/tip3pfb.xml")
+        return self._ff
+
+    def _openmm_frame_energy(self, topology, positions) -> float:
+        """One frame -> potential energy in kJ/mol (rewards.py:110-146)."""
         import openmm
-        from openmm import app, unit
+        from openmm import unit
+        from openmm.app import HBonds, Modeller, PME, Simulation
 
-        pdb = app.PDBFile(pdb_path)
-        if self.solvent == "implicit":
-            ff = app.ForceField("amber14-all.xml", "implicit/gbn2.xml")
+        ff = self._forcefield()
+        modeller = Modeller(topology, positions)
+        modeller.addHydrogens(ff, pH=7)
+        if self.implicit:
+            system = ff.createSystem(modeller.topology, constraints=HBonds)
         else:
-            ff = app.ForceField("amber14-all.xml", "amber14/tip3pfb.xml")
-        modeller = app.Modeller(pdb.topology, pdb.positions)
-        modeller.addHydrogens(ff)
-        system = ff.createSystem(modeller.topology, nonbondedMethod=app.NoCutoff)
+            modeller.addSolvent(ff, padding=1.0 * unit.nanometer)
+            system = ff.createSystem(
+                modeller.topology,
+                nonbondedMethod=PME,
+                nonbondedCutoff=1.0 * unit.nanometer,
+                constraints=HBonds,
+            )
         integrator = openmm.LangevinMiddleIntegrator(
-            self.temperature * unit.kelvin, 1 / unit.picosecond, 0.002 * unit.picoseconds
+            350 * unit.kelvin, self.friction_coeff / unit.picosecond, self.dt_fs * unit.femtosecond
         )
-        ctx = openmm.Context(system, integrator)
-        ctx.setPositions(modeller.positions)
-        state = ctx.getState(getEnergy=True)
-        return np.asarray([state.getPotentialEnergy().value_in_unit(unit.kilojoule_per_mole)])
+        sim = Simulation(
+            modeller.topology, system, integrator,
+            openmm.Platform.getPlatformByName(self.platform_name),
+        )
+        sim.context.setPositions(modeller.positions)
+        if not self.implicit:
+            system.addForce(openmm.MonteCarloBarostat(1 * unit.bar, 350 * unit.kelvin))
+            sim.context.reinitialize(preserveState=True)
+        state = sim.context.getState(getEnergy=True)
+        return float(state.getPotentialEnergy().value_in_unit(unit.kilojoule_per_mole))
 
-    def __call__(self, pdb_paths: list[str]) -> np.ndarray:
-        """log_r = -E/temperature per path (src/rtb_utils/rewards.py:151)."""
-        return np.array([-self.energy_from_pdb(p).mean() / self.temperature for p in pdb_paths])
+    # ------------------------------------------------------------------
+    def energies_for_pdb(self, pdb_path: str) -> np.ndarray:
+        """Per-MODEL energies (kJ/mol) for a (possibly multi-model) PDB."""
+        if self.energy_backend is not None:
+            from ..geometry.protein import from_pdb_models
+
+            out = []
+            for aatype, xyz in from_pdb_models(pdb_path):
+                out.append(float(self.energy_backend(aatype, xyz)))
+            return np.asarray(out, np.float64)
+
+        from openmm.app import PDBFile
+
+        pdb = PDBFile(pdb_path)
+        n = pdb.getNumFrames()
+        return np.asarray(
+            [self._openmm_frame_energy(pdb.topology, pdb.getPositions(frame=i)) for i in range(n)],
+            np.float64,
+        )
+
+    def __call__(self, paths: list[str] | None = None, tmp_dir: str | None = None,
+                 data_path: str | None = None) -> tuple:
+        """(logs, logrs) over every peptide trajectory found in ``tmp_dir``
+        (rewards.py:70-160): logs[peptide] = {'log_r' (T,), 'x' (T, L*14, 3),
+        'torsions'}, logrs (len(paths),) scattered per-peptide; the sampled
+        pdb/trajectory files are removed afterwards (:152-155)."""
+        import glob
+        import os
+
+        tmp_dir = tmp_dir or "."
+        if paths is None:
+            def frame_key(p):
+                stem = os.path.basename(p)[:-4].split("_")
+                return (stem[0], int(stem[-1]) if stem[-1].isdigit() else -1)
+
+            paths = sorted(
+                (p for p in glob.glob(os.path.join(tmp_dir, "*_*.pdb")) if not p.endswith("_traj.pdb")),
+                key=frame_key,
+            )
+        peptides = sorted({os.path.basename(p).split("_")[0] for p in paths})
+        logs, logrs = {}, np.zeros(len(paths), np.float64)
+        for peptide in peptides:
+            idx = [i for i, p in enumerate(paths) if peptide in os.path.basename(p)]
+            if not idx:
+                continue
+            traj_path = os.path.join(tmp_dir, f"{peptide}_traj.pdb")
+            if os.path.exists(traj_path):
+                energies = self.energies_for_pdb(traj_path)
+                from ..geometry.protein import from_pdb_models
+
+                xyz = np.stack([x for _, x in from_pdb_models(traj_path)])
+            else:
+                energies = np.concatenate([self.energies_for_pdb(paths[i]) for i in idx])
+                from ..geometry.protein import from_pdb_models
+
+                xyz = np.stack([from_pdb_models(paths[i])[0][1] for i in idx])
+            log_r = -energies / self.energy_temperature
+            if len(idx) == len(energies):
+                logrs[np.asarray(idx)] = log_r
+            tor_path = os.path.join(tmp_dir, f"{peptide}_torsions.npy")
+            torsions = np.load(tor_path) if os.path.exists(tor_path) else None
+            logs[peptide] = {"log_r": log_r, "x": xyz, "torsions": torsions}
+        if self.cleanup:
+            for f in glob.glob(os.path.join(tmp_dir, "*.pdb")):
+                os.remove(f)
+        return logs, logrs
 
 
 def get_reward(kind: str = "auto", **kw):

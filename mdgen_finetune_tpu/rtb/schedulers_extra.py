@@ -1,11 +1,12 @@
-"""Additional GFN-instrumented schedulers: DDIM, SDE-VE, EDM-Euler.
+"""Additional GFN-instrumented schedulers: DDIM, SDE-VE, EDM-Euler, DDPM-DP.
 
 Completes the reference's vendored scheduler family
 (src/rtb_utils/diffusers/schedulers/: scheduling_ddim_gfn.py,
-scheduling_sde_ve_gfn.py, scheduling_edm_euler_gfn.py; only ddpm_gfn drives
-the MDGen fine-tune path, but the alternatives are part of the public
-surface). All steps return {prev_sample, pred_original_sample, posterior_mean,
-posterior_std, noise} so they are drop-in policies for PosteriorPriorDGFN.
+scheduling_sde_ve_gfn.py, scheduling_edm_euler_gfn.py,
+scheduling_ddpm_dp.py; only ddpm_gfn drives the MDGen fine-tune path, but
+the alternatives are part of the public surface). All steps return
+{prev_sample, pred_original_sample, posterior_mean, posterior_std, noise} so
+they are drop-in policies for PosteriorPriorDGFN.
 """
 from __future__ import annotations
 
@@ -64,6 +65,107 @@ class DDIMGFNScheduler(DDPMGFNScheduler):
             "posterior_std": jnp.maximum(sigma, 1e-12),
             "noise": variance_noise,
         }
+
+
+def rescale_zero_terminal_snr(betas: np.ndarray) -> np.ndarray:
+    """Zero-terminal-SNR beta rescale (scheduling_ddpm_dp.py:96-129;
+    arXiv:2305.08891 Alg. 1)."""
+    alphas_bar_sqrt = np.sqrt(np.cumprod(1.0 - betas))
+    a0, aT = alphas_bar_sqrt[0], alphas_bar_sqrt[-1]
+    alphas_bar_sqrt = (alphas_bar_sqrt - aT) * (a0 / (a0 - aT))
+    alphas_bar = alphas_bar_sqrt**2
+    alphas = np.concatenate([alphas_bar[:1], alphas_bar[1:] / alphas_bar[:-1]])
+    return 1.0 - alphas
+
+
+@dataclasses.dataclass
+class DDPMDPScheduler(DDPMGFNScheduler):
+    """DDPM with a differentiable-posterior step (scheduling_ddpm_dp.py:132-587):
+    the ancestral step additionally exposes {posterior_mean, posterior_std,
+    noise} so x0 can be re-derived through the reparametrized sample for
+    gradient-through-sampling (DPS-style) methods. Differences from the GFN
+    scheduler: plain t - stride previous-timestep arithmetic (no T-1 quirk,
+    :574-587), linear/scaled_linear/sigmoid beta schedules with the 1000/T
+    rescaling (:204-218), optional zero-terminal-SNR rescale (:222-224),
+    trailing timestep spacing (:319-324), and dynamic thresholding of the x0
+    prediction (:372-403)."""
+
+    beta_schedule: str = "linear"
+    beta_start: float = 1e-4
+    beta_end: float = 0.02
+    prediction_type: str = "epsilon"
+    variance_type: str = "fixed_small"
+    clip_sample_range: float = 1.0
+    thresholding: bool = False
+    dynamic_thresholding_ratio: float = 0.995
+    sample_max_value: float = 1.0
+    rescale_betas_zero_snr: bool = False
+
+    def __post_init__(self):
+        T = self.num_train_timesteps
+        if self.beta_schedule == "linear":
+            scale = 1000.0 / T  # scheduling_ddpm_dp.py:205-208
+            betas = np.linspace(scale * self.beta_start, scale * self.beta_end, T)
+        elif self.beta_schedule == "scaled_linear":
+            betas = np.linspace(self.beta_start**0.5, self.beta_end**0.5, T) ** 2
+        elif self.beta_schedule == "squaredcos_cap_v2":
+            from .scheduler import betas_for_alpha_bar
+
+            betas = betas_for_alpha_bar(T)
+        elif self.beta_schedule == "sigmoid":
+            betas = 1 / (1 + np.exp(-np.linspace(-6, 6, T))) * (self.beta_end - self.beta_start) + self.beta_start
+        else:
+            raise NotImplementedError(self.beta_schedule)
+        if self.rescale_betas_zero_snr:
+            betas = rescale_zero_terminal_snr(betas)
+        alphas = 1.0 - betas
+        self.betas = jnp.asarray(betas, jnp.float32)
+        self.alphas_cumprod = jnp.asarray(np.cumprod(alphas), jnp.float32)
+        self.timesteps = self.set_timesteps(self.num_inference_steps or self.num_train_timesteps)
+
+    def set_timesteps(self, num_inference_steps: int) -> np.ndarray:
+        if self.timestep_spacing == "trailing":
+            self.num_inference_steps = num_inference_steps
+            step_ratio = self.num_train_timesteps / num_inference_steps
+            ts = np.round(np.arange(self.num_train_timesteps, 0, -step_ratio)).astype(np.int64) - 1
+            self.timesteps = ts
+            return ts
+        return super().set_timesteps(num_inference_steps)
+
+    def previous_timestep(self, t):
+        """t - T // num_inference_steps, no boundary quirk
+        (scheduling_ddpm_dp.py:574-587)."""
+        return t - self.stride
+
+    def next_timestep(self, t):
+        return jnp.minimum(t + self.stride, self.num_train_timesteps - 1)
+
+    def pred_x0(self, model_output, t, sample):
+        alpha_prod_t = self._bc(self._alpha_prod(t), sample)
+        beta_prod_t = 1 - alpha_prod_t
+        if self.prediction_type == "epsilon":
+            x0 = (sample - beta_prod_t**0.5 * model_output) / alpha_prod_t**0.5
+        elif self.prediction_type == "sample":
+            x0 = model_output
+        elif self.prediction_type == "v_prediction":
+            x0 = alpha_prod_t**0.5 * sample - beta_prod_t**0.5 * model_output
+        else:
+            raise NotImplementedError(self.prediction_type)
+        if self.thresholding:
+            x0 = self._threshold_sample(x0)
+        elif self.clip_sample:
+            x0 = jnp.clip(x0, -self.clip_sample_range, self.clip_sample_range)
+        return x0
+
+    def _threshold_sample(self, sample):
+        """Dynamic thresholding (scheduling_ddpm_dp.py:372-403): clamp x0 to
+        [-s, s]/s where s is a per-sample percentile of |x0|, floored at 1."""
+        B = sample.shape[0]
+        flat = jnp.abs(sample.reshape(B, -1)).astype(jnp.float32)
+        s = jnp.quantile(flat, self.dynamic_thresholding_ratio, axis=1)
+        s = jnp.clip(s, 1.0, self.sample_max_value)
+        s = s.reshape((B,) + (1,) * (sample.ndim - 1))
+        return jnp.clip(sample, -s, s) / s
 
 
 @dataclasses.dataclass

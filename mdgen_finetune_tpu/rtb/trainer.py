@@ -80,11 +80,20 @@ class RTBTrainer:
         workdir: str = "workdir/rtb",
         reward_on_device: bool = True,
         lgv_log_reward_fn: Optional[Callable] = None,
+        policy: Optional[object] = None,
+        lora_targets: Optional[Callable] = None,
     ):
         """``lgv_log_reward_fn``: differentiable latents -> (B,) log-reward
         proxy used for the Langevin correction when rtb.langevin is set (the
         reference's lgv classifier, src/models/samplers.py:120-171; here
-        typically the SurrogateReward composed with the on-device decode)."""
+        typically the SurrogateReward composed with the on-device decode).
+
+        ``policy``: optional alternative policy module (e.g. an outsourced
+        ``UNet3DSeq`` denoiser, src/rtb_utils/denoisers.py:504-561) with the
+        apply signature (x, t_normalized, **condition); defaults to the
+        LatentMDGen denoiser. ``lora_targets`` overrides which kernels get
+        adapters (required for non-MDGen policies whose module names differ).
+        """
         self.cfg = cfg
         self.rtb = rtb
         self.prior_sim = prior_sim
@@ -93,7 +102,7 @@ class RTBTrainer:
 
         # policy network = the denoiser architecture as DDPM v-predictor;
         # the prior policy is its frozen copy, the posterior adds LoRA
-        self.policy = LatentMDGen(cfg, cfg.latent_dim, dtype=jnp.float32)
+        self.policy = policy if policy is not None else LatentMDGen(cfg, cfg.latent_dim, dtype=jnp.float32)
         self.policy_params = policy_params if policy_params is not None else prior_sim.engine.params
         self.scheduler = DDPMGFNScheduler(
             num_train_timesteps=rtb.num_train_timesteps, prediction_type="v_prediction",
@@ -134,7 +143,8 @@ class RTBTrainer:
         )
 
         key = jax.random.key(rtb.seed)
-        self.lora = lora_init(key, self.policy_params["params"], rank=rtb.lora_rank)
+        lora_kw = {"targets": lora_targets} if lora_targets is not None else {}
+        self.lora = lora_init(key, self.policy_params["params"], rank=rtb.lora_rank, **lora_kw)
         self.logZ = jnp.zeros(())
         self.opt = optax.chain(
             optax.clip_by_global_norm(rtb.grad_clip),
@@ -509,9 +519,10 @@ class DiffuserTrainer:
         num_train_timesteps: int = 1000,
         min_snr_gamma: float = 5.0,
         seed: int = 0,
+        model: Optional[object] = None,
     ):
         self.cfg = cfg
-        self.model = LatentMDGen(cfg, cfg.latent_dim, dtype=jnp.float32)
+        self.model = model if model is not None else LatentMDGen(cfg, cfg.latent_dim, dtype=jnp.float32)
         self.scheduler = DDPMGFNScheduler(num_train_timesteps=num_train_timesteps)
         self.source_sampler = source_sampler
         self.condition = condition

@@ -23,3 +23,57 @@ def test_unet_seq_shapes_and_grads():
 
     g = jax.grad(loss)(params)
     assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
+
+
+def test_unet2d_guided_diffusion_structure():
+    """Full UNet: down/up stacks, attention, FiLM conditioning, class labels."""
+    from mdgen_finetune_tpu.rtb.denoisers import UNet2D
+
+    net = UNet2D(model_channels=8, out_channels=2, num_res_blocks=1,
+                 attention_resolutions=(1, 2), channel_mult=(1, 2),
+                 num_head_channels=8, num_classes=3, use_scale_shift_norm=True)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 2)), jnp.float32)
+    t = jnp.asarray([3.0, 7.0])
+    y = jnp.asarray([0, 2])
+    params = net.init(jax.random.key(0), x, t, y=y)
+    out = net.apply(params, x, t, y=y)
+    assert out.shape == (2, 8, 8, 2)
+    np.testing.assert_allclose(np.asarray(out), 0.0)  # zero-init head
+
+    flat = {"/".join(k): v for k, v in
+            __import__("flax").traverse_util.flatten_dict(params["params"]).items()}
+    # attention blocks with qkv + zero-init proj exist
+    qkv = [k for k in flat if k.endswith("qkv/kernel")]
+    assert len(qkv) >= 3  # two encoder resolutions + middle (+ decoder)
+    proj = [k for k in flat if k.endswith("proj_out/kernel")]
+    assert proj and all(np.allclose(np.asarray(flat[k]), 0) for k in proj)
+    # strided downsample conv exists (encoder has 2 levels -> 1 downsample)
+    assert any("Downsample2D" in k for k in flat)
+    assert any("Upsample2D" in k for k in flat)
+
+    def loss(p):
+        return jnp.sum(net.apply(p, x, t, y=y) ** 2) + sum(jnp.sum(l**2) for l in jax.tree.leaves(p))
+
+    g = jax.grad(loss)(params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
+
+
+def test_unet3dseq_policy_signature():
+    """Folding wrapper matches the RTB policy convention (x, t, **cond)."""
+    from mdgen_finetune_tpu.rtb.denoisers import UNet3DSeq
+
+    net = UNet3DSeq(out_dim=8, model_channels=8, channel_mult=(1, 2),
+                    num_res_blocks=1, attention_resolutions=(2,), num_head_channels=8)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 3, 4, 8)), jnp.float32)
+    params = net.init(jax.random.key(0), x, 0.5)
+    # scalar t, (B,) t, and surplus condition kwargs all accepted
+    o1 = net.apply(params, x, 0.5, seqres_emb=jnp.zeros((2, 4)), mask=None)
+    o2 = net.apply(params, x, jnp.asarray([0.5, 0.5]))
+    assert o1.shape == (2, 3, 4, 8)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
+    # frames are independent given t: permuting frames permutes outputs
+    perm = jnp.asarray([2, 0, 1])
+    o3 = net.apply(params, x[:, perm], 0.5)
+    np.testing.assert_allclose(np.asarray(o3), np.asarray(o2[:, perm]), atol=1e-5)

@@ -286,3 +286,58 @@ def test_rtb_plots(tmp_path):
     assert jsd > 0 and __import__("os").path.exists(p)
     t = synthesize_trajectory("AGHK", 20, seed=0).astype(np.float32)
     rel_distance_histograms(t[:10], t[10:], str(tmp_path / "d.png"))
+
+
+def test_ddpm_dp_scheduler_oracle():
+    from mdgen_finetune_tpu.rtb.schedulers_extra import DDPMDPScheduler, rescale_zero_terminal_snr
+
+    T = 50
+    sched = DDPMDPScheduler(num_train_timesteps=T, clip_sample=False)
+    # linear schedule carries the 1000/T rescale (scheduling_ddpm_dp.py:205-208)
+    scale = 1000.0 / T
+    np.testing.assert_allclose(float(sched.betas[0]), scale * 1e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(sched.betas[-1]), scale * 0.02, rtol=1e-6)
+
+    # no T-1 previous-timestep quirk (unlike the GFN scheduler)
+    sched.set_timesteps(10)
+    assert int(sched.previous_timestep(jnp.asarray(T - 1))) == T - 1 - 5
+
+    # step: posterior-mean oracle (DDPM eq. 7, epsilon parametrization)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 4)), jnp.float32)
+    eps = jnp.asarray(rng.normal(size=(2, 4)), jnp.float32)
+    t = 45
+    out = sched.step(eps, jnp.asarray(t), x, key=jax.random.key(0))
+    a = np.cumprod(1 - np.asarray(sched.betas))
+    ap, app = a[t], a[t - 5]
+    x0 = (np.asarray(x) - (1 - ap) ** 0.5 * np.asarray(eps)) / ap**0.5
+    cur_a = ap / app
+    mean = (app**0.5 * (1 - cur_a)) / (1 - ap) * x0 + cur_a**0.5 * (1 - app) / (1 - ap) * np.asarray(x)
+    np.testing.assert_allclose(np.asarray(out["posterior_mean"]), mean, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out["pred_original_sample"]), x0, rtol=2e-4, atol=2e-5)
+    # fixed_small variance
+    var = (1 - app) / (1 - ap) * (1 - cur_a)
+    np.testing.assert_allclose(float(out["posterior_std"]) ** 2, var, rtol=2e-4)
+    # differentiable-posterior reparam identity and deterministic final step
+    np.testing.assert_allclose(
+        np.asarray(out["prev_sample"]),
+        np.asarray(out["posterior_mean"] + out["posterior_std"] * out["noise"]), atol=1e-5,
+    )
+    out0 = sched.step(eps, jnp.asarray(0), x, key=jax.random.key(1))
+    np.testing.assert_allclose(np.asarray(out0["prev_sample"]), np.asarray(out0["posterior_mean"]), atol=1e-6)
+
+    # trailing spacing (scheduling_ddpm_dp.py:319-324)
+    tr = DDPMDPScheduler(num_train_timesteps=10, timestep_spacing="trailing")
+    ts = tr.set_timesteps(5)
+    np.testing.assert_array_equal(ts, np.array([9, 7, 5, 3, 1]))
+
+    # zero-terminal-SNR rescale drives alpha_bar[-1] to 0 (arXiv:2305.08891)
+    betas = np.linspace(1e-4, 0.02, 100)
+    rb = rescale_zero_terminal_snr(betas)
+    assert abs(np.cumprod(1 - rb)[-1]) < 1e-10
+
+    # dynamic thresholding maps x0 into [-1, 1] scaled by its own percentile
+    th = DDPMDPScheduler(num_train_timesteps=T, thresholding=True, prediction_type="sample")
+    big = jnp.asarray(rng.normal(size=(2, 16)) * 10, jnp.float32)
+    x0t = th.pred_x0(big, jnp.asarray(10), jnp.zeros((2, 16)))
+    assert float(jnp.max(jnp.abs(x0t))) <= 1.0 + 1e-6

@@ -189,3 +189,46 @@ def test_prior_sampling_smoke(setup, tmp_path):
     tr = RTBTrainer(cfg, rtb, sim, lambda a14, aat: reward(a14, aat), workdir=str(tmp_path))
     m = tr.step(0, jax.random.key(0))
     assert np.isfinite(m["loss"])
+
+
+def test_unet_policy_distill_and_rtb_step(setup, tmp_path):
+    """Guided-diffusion UNet as the outsourced DDPM policy (reference
+    src/rtb_utils/denoisers.py:504-561 + gfn_diffusion.py outsourced path):
+    DiffuserTrainer distills the MDGen prior into it, then an RTB step runs
+    with it as the posterior (LoRA on its dense kernels)."""
+    from mdgen_finetune_tpu.inference import sample_prior_latent
+    from mdgen_finetune_tpu.rtb.denoisers import UNet3DSeq
+
+    cfg = setup["cfg"]
+    sim = MDGenSimulator(cfg, setup["params"], setup["split"], batch_size=2)
+    condition, _ = sim.get_cond_args()
+    T, L, D = sim.latent_shape  # D = 21: exercises the odd-width padding path
+
+    def source(key):
+        return sample_prior_latent(key, 2, T, L, D, uniform=True)
+
+    unet = UNet3DSeq(out_dim=D, model_channels=8, channel_mult=(1, 2),
+                     num_res_blocks=1, attention_resolutions=(2,), num_head_channels=8)
+    dt = DiffuserTrainer(cfg, source, condition, lr=1e-3, num_train_timesteps=30, model=unet)
+    key = jax.random.key(0)
+    params = dt.init_params(key, source(key))
+    opt_state = dt.tx.init(params)
+    params, opt_state, losses = dt.train(params, opt_state, 20, key)
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+    reward = SurrogateReward(temperature=100.0)
+    rtb = RTBConfig(batch_size=2, sampling_length=3, num_train_timesteps=30, lora_rank=4,
+                    lr=1e-3, learning_cutoff=0.0)
+    tr = RTBTrainer(cfg, rtb, sim, lambda a14, aat: reward(a14, aat), workdir=str(tmp_path),
+                    policy=unet, policy_params=params,
+                    lora_targets=lambda p: p.endswith("kernel"))
+    assert len(tr.lora) > 0  # adapters attached to the UNet's dense kernels
+    lora_before = jax.tree.map(lambda x: np.asarray(x).copy(), tr.lora)
+    m = tr.step(0, jax.random.key(1))
+    assert np.isfinite(m["loss"]) and np.isfinite(m["logr"])
+    moved = any(
+        not np.allclose(np.asarray(a["b"]), np.asarray(lora_before[k]["b"]))
+        for k, a in tr.lora.items()
+    )
+    assert moved
