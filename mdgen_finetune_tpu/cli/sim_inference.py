@@ -56,6 +56,14 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=137)
     p.add_argument("--all_peptides", action="store_true",
                    help="process every split row (the reference stops after the first, src/sim_inference.py:136)")
+    # reverse-SDE sampling (reference Sampler.sample_sde, transport.py:346-450)
+    p.add_argument("--sde", action="store_true", help="sample with the reverse SDE instead of the pf-ODE")
+    p.add_argument("--sde_steps", type=int, default=250)
+    p.add_argument("--sde_method", type=str, default="Euler", choices=["Euler", "Heun"])
+    p.add_argument("--diffusion_form", type=str, default="SBDM")
+    p.add_argument("--diffusion_norm", type=float, default=1.0)
+    p.add_argument("--last_step", type=str, default="Mean", choices=["Mean", "Tweedie", "Euler"])
+    p.add_argument("--last_step_size", type=float, default=0.04)
     a = p.parse_args(argv)
 
     cfg, params = load_params(a)
@@ -63,7 +71,11 @@ def main(argv=None):
         import dataclasses
 
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, num_frames=a.num_frames, data_dir=a.data_dir, suffix=a.suffix))
-    engine = InferenceEngine(cfg, params)
+    sde_opts = dict(
+        num_steps=a.sde_steps, method=a.sde_method, diffusion_form=a.diffusion_form,
+        diffusion_norm=a.diffusion_norm, last_step=a.last_step, last_step_size=a.last_step_size,
+    )
+    engine = InferenceEngine(cfg, params, sampler="sde" if a.sde else "ode", sde_opts=sde_opts if a.sde else None)
     ds = MDGenDataset(cfg, a.split, data_dir=a.data_dir)
     os.makedirs(a.out_dir, exist_ok=True)
 

@@ -34,7 +34,7 @@ def main(argv=None):
 
     trainer = Trainer(cfg)
     train_ds = MDGenDataset(cfg, cfg.data.train_split)
-    val_ds = MDGenDataset(cfg, cfg.data.val_split)
+    val_ds = MDGenDataset(cfg, cfg.data.val_split, repeat=a.val_repeat)
     it = make_batch_iterator(train_ds, cfg.train.batch_size, seed=cfg.train.seed)
 
     state = trainer.init_state(jax.random.key(cfg.train.seed), next(it))
@@ -42,7 +42,9 @@ def main(argv=None):
         state = trainer.restore_checkpoint(a.ckpt, state)
         print(f"resumed from {a.ckpt} at step {int(state.step)}")
 
-    steps_per_epoch = a.steps_per_epoch or max(len(train_ds) // cfg.train.batch_size, 1)
+    # --train_batches caps the epoch length (Lightning limit_train_batches,
+    # reference train.py:49); --steps_per_epoch is our explicit override
+    steps_per_epoch = a.steps_per_epoch or a.train_batches or max(len(train_ds) // cfg.train.batch_size, 1)
     log_path = os.path.join(workdir, "log.jsonl")
     rng = jax.random.key(cfg.train.seed + 1)
 

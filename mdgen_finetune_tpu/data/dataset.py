@@ -24,9 +24,14 @@ from ..geometry import tables as rc
 
 
 class MDGenDataset:
-    def __init__(self, cfg: MDGenConfig, split: str, data_dir: Optional[str] = None, peptide: Optional[str] = None):
+    def __init__(self, cfg: MDGenConfig, split: str, data_dir: Optional[str] = None, peptide: Optional[str] = None,
+                 repeat: int = 1):
+        """``repeat`` multiplies the epoch length (the reference's
+        MDGenDataset(repeat=args.val_repeat), src/mdgen/dataset.py + train.py:30:
+        each pass re-crops randomly, so repeat > 1 widens validation coverage)."""
         self.cfg = cfg
         self.data = cfg.data
+        self.repeat = repeat
         self.data_dir = data_dir or cfg.data.data_dir
         with open(split) as f:
             rows = list(csv.DictReader(f))
@@ -49,7 +54,7 @@ class MDGenDataset:
         return os.path.exists(self._path(name))
 
     def __len__(self) -> int:
-        return len(self.entries)
+        return len(self.entries) * self.repeat
 
     def sample(self, rng: np.random.Generator, idx: Optional[int] = None) -> dict:
         """One raw example: atom14 (T, crop, 14, 3) f32, seqres (crop,), mask (crop,)."""

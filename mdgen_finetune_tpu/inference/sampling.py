@@ -25,6 +25,20 @@ from ..transport import create_transport
 from ..transport.samplers import sample_ode
 
 
+def _array_entries(batch: dict) -> dict:
+    """Drop non-numeric metadata (dataset 'name' strings / string lists) so
+    featurized batches can cross the jit boundary as-is."""
+
+    def ok(v):
+        if isinstance(v, (str, bytes)):
+            return False
+        if isinstance(v, (list, tuple)):
+            return not any(isinstance(e, (str, bytes)) for e in v)
+        return getattr(np.asarray(v), "dtype", None) != np.dtype(object)
+
+    return {k: v for k, v in batch.items() if ok(v)}
+
+
 def sample_prior_latent(
     key: jax.Array, B: int, T: int, L: int, latent_dim: int, design: bool = False, uniform: bool = False
 ) -> jnp.ndarray:
@@ -46,14 +60,24 @@ def sample_prior_latent(
 
 
 class InferenceEngine:
-    def __init__(self, cfg: MDGenConfig, params, dtype=None):
+    def __init__(self, cfg: MDGenConfig, params, dtype=None, sampler: str = "ode", sde_opts: dict | None = None):
+        """``sampler``: "ode" (default, the reference task CLIs' path) or
+        "sde" (reverse-SDE sampling, Sampler.sample_sde in the reference,
+        src/mdgen/transport/transport.py:346-450). ``sde_opts`` forwards to
+        Transport.make_sde_sampler (num_steps/method/diffusion_form/
+        diffusion_norm/last_step/last_step_size)."""
         self.cfg = cfg
         self.params = params
+        if sampler not in ("ode", "sde"):
+            raise ValueError(f"unknown sampler {sampler!r}")
+        self.sampler = sampler
+        self.sde_opts = dict(sde_opts or {})
         dtype = dtype if dtype is not None else (jnp.bfloat16 if cfg.model.use_bf16 else jnp.float32)
         self.model = LatentMDGen(cfg, cfg.latent_dim, dtype=dtype)
         self.transport = create_transport(cfg)
         self._sample_jit = jax.jit(self._sample)
         self._rollout_step_jit = jax.jit(self._rollout_step)
+        self._likelihood_jit = jax.jit(self._log_likelihood, static_argnames=("num_steps",))
 
     # ------------------------------------------------------------------
     def _decode(self, samples, rigids, seqres):
@@ -99,34 +123,71 @@ class InferenceEngine:
             atom14 = G.frames_torsions_to_atom14(prep["rigids"], batch["torsions"], aat)
             return atom14, aa_out
 
+        k_prior, k_sde = jax.random.split(key)
         if zs0 is not None:
             zs = zs0
         else:
-            zs = sample_prior_latent(key, B, T, L, cfg.latent_dim, design=cfg.task.design)
+            zs = sample_prior_latent(k_prior, B, T, L, cfg.latent_dim, design=cfg.task.design)
+
+        def model_fn(x, t, **extra):
+            return self.model.apply(params, x, t, method=self.model.forward_inference, **kw)
+
+        if self.sampler == "sde":
+            sde_sample = self.transport.make_sde_sampler(model_fn, **self.sde_opts)
+            samples = sde_sample(k_sde, zs)
+        else:
+            drift = self.transport.drift_fn(model_fn)
+            t0, t1 = self.transport.check_interval(eval=True)
+            samples = sample_ode(
+                drift,
+                zs,
+                t0=t0,
+                t1=t1,
+                method=cfg.transport.sampling_method,
+                num_steps=cfg.transport.inference_steps,
+            )
+        return self._decode(samples, prep.get("rigids"), batch["seqres"])
+
+    def sample(self, batch: dict, key) -> tuple:
+        """batch: featurized dict (torsions/rots/trans/seqres/mask...).
+        Non-array metadata entries (e.g. dataset 'name' strings) are dropped
+        before the jit boundary."""
+        return self._sample_jit(self.params, _array_entries(batch), key)
+
+    def _sample_with_zs0(self, params, batch, zs0):
+        """Deterministic decode from a given prior latent (RTB rollouts,
+        src/mdgen/wrapper.py:436 zs0 path)."""
+        return self._sample(params, batch, jax.random.key(0), zs0=zs0)
+
+    # ------------------------------------------------------------------
+    def _log_likelihood(self, params, batch, key, num_steps: int = 100):
+        """Exact log-likelihood of the batch's ground-truth latents under the
+        probability-flow ODE (reference Sampler.sample_ode_likelihood,
+        src/mdgen/transport/transport.py:452-510): integrate the reversed
+        drift with a Hutchinson divergence estimate back to the prior, then
+        log p(x) = prior_logp(x0) - delta_logp. Returns (B,) nats."""
+        from ..transport.samplers import ode_likelihood
+
+        prep = prep_batch(self.cfg, batch)
+        kw = prep["model_kwargs"]
+        x1 = prep["latents"]
+        if x1.shape[-1] != self.cfg.latent_dim:
+            # design configs append the one-hot sequence block to the latents
+            aa1h = jax.nn.one_hot(batch["seqres"], 20, dtype=x1.dtype)
+            aa1h = jnp.broadcast_to(aa1h[:, None], (*x1.shape[:-1], 20))
+            x1 = jnp.concatenate([x1, aa1h], axis=-1)
 
         def model_fn(x, t, **extra):
             return self.model.apply(params, x, t, method=self.model.forward_inference, **kw)
 
         drift = self.transport.drift_fn(model_fn)
         t0, t1 = self.transport.check_interval(eval=True)
-        samples = sample_ode(
-            drift,
-            zs,
-            t0=t0,
-            t1=t1,
-            method=cfg.transport.sampling_method,
-            num_steps=cfg.transport.inference_steps,
-        )
-        return self._decode(samples, prep.get("rigids"), batch["seqres"])
+        x0, delta_logp = ode_likelihood(drift, x1, key, t0=t0, t1=t1, num_steps=num_steps)
+        return self.transport.prior_logp(x0) - delta_logp
 
-    def sample(self, batch: dict, key) -> tuple:
-        """batch: featurized dict (torsions/rots/trans/seqres/mask...)."""
-        return self._sample_jit(self.params, batch, key)
-
-    def _sample_with_zs0(self, params, batch, zs0):
-        """Deterministic decode from a given prior latent (RTB rollouts,
-        src/mdgen/wrapper.py:436 zs0 path)."""
-        return self._sample(params, batch, jax.random.key(0), zs0=zs0)
+    def log_likelihood(self, batch: dict, key, num_steps: int = 100) -> jnp.ndarray:
+        """Per-sample log p(latents(batch)) in nats (see _log_likelihood)."""
+        return self._likelihood_jit(self.params, _array_entries(batch), key, num_steps=num_steps)
 
     # ------------------------------------------------------------------
     def _expand_frame0(self, atom14_frame0, seqres, mask):

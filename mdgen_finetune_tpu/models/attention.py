@@ -35,11 +35,12 @@ class MultiheadAttention(nn.Module):
     embed_dim: int
     num_heads: int
     use_rope: bool = True
+    dropout: float = 0.0  # on attention probabilities (reference mha.py:383-386)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None,
-                 axis: str = "time") -> jnp.ndarray:
+                 axis: str = "time", train: bool = False) -> jnp.ndarray:
         """x: (B, N, C) with mask (B, N); or, for the factorized stages,
         x: (B, T, L, C) — with axis="time" attention runs over T with (B, L)
         as batch and mask (B, L, T); with axis="residue" it runs over L with
@@ -60,17 +61,36 @@ class MultiheadAttention(nn.Module):
         bias_k = self.param("bias_k", nn.initializers.normal(bias_std), (1, 1, C))
         bias_v = self.param("bias_v", nn.initializers.normal(bias_std), (1, 1, C))
 
+        drop = self.dropout > 0.0 and train  # dropout needs the dense-probs path
+
         if x.ndim == 4:
             if not self.use_rope:
                 raise NotImplementedError("4D factorized-attention paths assume RoPE")
-            attend = time_attention if axis == "time" else residue_attention
-            out = attend(
-                q, k, v, bias_k.astype(q.dtype), bias_v.astype(v.dtype), mask,
-                num_heads=H,
-            )
-            return dense(C, name="out_proj", dtype=self.dtype)(out)
+            if not drop:
+                attend = time_attention if axis == "time" else residue_attention
+                out = attend(
+                    q, k, v, bias_k.astype(q.dtype), bias_v.astype(v.dtype), mask,
+                    num_heads=H,
+                )
+                return dense(C, name="out_proj", dtype=self.dtype)(out)
+            # training with dropout: fold to the (parity-tested-equal) 3D view
+            B4, T4, L4, _ = x.shape
+            if axis == "residue":
+                q, k, v = (a.reshape(B4 * T4, L4, C) for a in (q, k, v))
+                mask3, unfold = mask.reshape(B4 * T4, L4), lambda o: o.reshape(B4, T4, L4, C)
+            else:
+                q, k, v = (a.transpose(0, 2, 1, 3).reshape(B4 * L4, T4, C) for a in (q, k, v))
+                mask3 = mask.reshape(B4 * L4, T4)
+                unfold = lambda o: o.reshape(B4, L4, T4, C).transpose(0, 2, 1, 3)
+            out = self._dense_attn(q, k, v, mask3, bias_k, bias_v, H, D, drop)
+            return dense(C, name="out_proj", dtype=self.dtype)(unfold(out))
 
-        B, N, C = x.shape
+        out = self._dense_attn(q, k, v, mask, bias_k, bias_v, H, D, drop)
+        return dense(C, name="out_proj", dtype=self.dtype)(out)
+
+    def _dense_attn(self, q, k, v, mask, bias_k, bias_v, H, D, drop):
+        C = self.embed_dim
+        B, N, _ = q.shape
         k = jnp.concatenate([k, jnp.broadcast_to(bias_k.astype(k.dtype), (B, 1, C))], axis=1)
         v = jnp.concatenate([v, jnp.broadcast_to(bias_v.astype(v.dtype), (B, 1, C))], axis=1)
 
@@ -86,7 +106,14 @@ class MultiheadAttention(nn.Module):
             key_valid = jnp.concatenate(
                 [mask.astype(q.dtype), jnp.ones((B, 1), dtype=q.dtype)], axis=1
             )  # bias token always valid
-        out = fused_attention(q, k, v, key_valid)
+        if drop:
+            logits = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+            if key_valid is not None:
+                logits = logits + (1.0 - key_valid)[:, None, None, :] * _NEG_INF
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
+            probs = nn.Dropout(self.dropout)(probs, deterministic=False)
+            out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        else:
+            out = fused_attention(q, k, v, key_valid)
 
-        out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
-        return dense(C, name="out_proj", dtype=self.dtype)(out)
+        return out.transpose(0, 2, 1, 3).reshape(B, N, C)

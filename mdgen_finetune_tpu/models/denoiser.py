@@ -67,6 +67,7 @@ class IPALayer(nn.Module):
 
     cfg: MDGenConfig
     dtype: jnp.dtype = jnp.float32
+    train: bool = False
 
     @nn.compact
     def __call__(self, x, t_emb, mask, frames: Rigid):
@@ -75,15 +76,16 @@ class IPALayer(nn.Module):
         sh_l, sc_l, g_l, sh_m, sc_m, g_m = jnp.split(mod, 6, axis=-1)
 
         ipa_in = nn.LayerNorm(epsilon=1e-5, name="ipa_norm", dtype=self.dtype)(x)
-        x = x + InvariantPointAttention(**_ipa_kwargs(self.cfg, self.dtype), name="ipa")(
-            ipa_in, frames, frame_mask=mask
-        )
+        x = x + InvariantPointAttention(
+            **_ipa_kwargs(self.cfg, self.dtype), dropout=self.cfg.model.dropout, name="ipa"
+        )(ipa_in, frames, frame_mask=mask, train=self.train)
 
         residual = x
         x = modulate(layer_norm(x), sh_l, sc_l)
         x = MultiheadAttention(
-            C, self.cfg.model.mha_heads, use_rope=not self.cfg.model.no_rope, name="mha_l", dtype=self.dtype
-        )(x, mask=mask)
+            C, self.cfg.model.mha_heads, use_rope=not self.cfg.model.no_rope,
+            dropout=self.cfg.model.dropout, name="mha_l", dtype=self.dtype
+        )(x, mask=mask, train=self.train)
         x = residual + gate(x, g_l)
 
         residual = x
@@ -98,6 +100,7 @@ class LatentMDGenLayer(nn.Module):
 
     cfg: MDGenConfig
     dtype: jnp.dtype = jnp.float32
+    train: bool = False
 
     @nn.compact
     def __call__(self, x, t_emb, mask, frames: Optional[Rigid] = None):
@@ -108,23 +111,23 @@ class LatentMDGenLayer(nn.Module):
 
         if m.interleave_ipa:
             ipa_in = nn.LayerNorm(epsilon=1e-5, name="ipa_norm", dtype=self.dtype)(x)
-            x = x + InvariantPointAttention(**_ipa_kwargs(self.cfg, self.dtype), name="ipa")(
-                ipa_in, Rigid(frames.rot[:, None], frames.trans[:, None]), frame_mask=mask
-            )
+            x = x + InvariantPointAttention(
+                **_ipa_kwargs(self.cfg, self.dtype), dropout=m.dropout, name="ipa"
+            )(ipa_in, Rigid(frames.rot[:, None], frames.trans[:, None]), frame_mask=mask, train=self.train)
 
         # attention over residues, frames as batch
         residual = x
         x = modulate(layer_norm(x), sh_l, sc_l)
         if m.no_rope:
             x = MultiheadAttention(
-                C, m.mha_heads, use_rope=False, name="mha_l", dtype=self.dtype
-            )(x.reshape(B * T, L, C), mask=mask.reshape(B * T, L)).reshape(B, T, L, C)
+                C, m.mha_heads, use_rope=False, dropout=m.dropout, name="mha_l", dtype=self.dtype
+            )(x.reshape(B * T, L, C), mask=mask.reshape(B * T, L), train=self.train).reshape(B, T, L, C)
         else:
             # 4D residue-attention path: stays in (B, T, L, C) layout
             # (fused small-L Pallas kernel on TPU, ops/residue_attention.py)
             x = MultiheadAttention(
-                C, m.mha_heads, use_rope=True, name="mha_l", dtype=self.dtype
-            )(x, mask=mask, axis="residue")
+                C, m.mha_heads, use_rope=True, dropout=m.dropout, name="mha_l", dtype=self.dtype
+            )(x, mask=mask, axis="residue", train=self.train)
         x = residual + gate(x, g_l)
 
         # attention (or Hyena) over frames, residues as batch
@@ -140,15 +143,15 @@ class LatentMDGenLayer(nn.Module):
         elif m.no_rope:
             xt = x.transpose(0, 2, 1, 3).reshape(B * L, T, C)
             xt = MultiheadAttention(
-                C, m.mha_heads, use_rope=False, name="mha_t", dtype=self.dtype
-            )(xt, mask=mask.transpose(0, 2, 1).reshape(B * L, T))
+                C, m.mha_heads, use_rope=False, dropout=m.dropout, name="mha_t", dtype=self.dtype
+            )(xt, mask=mask.transpose(0, 2, 1).reshape(B * L, T), train=self.train)
             x = xt.reshape(B, L, T, C).transpose(0, 2, 1, 3)
         else:
             # 4D frame-attention path: stays in (B, T, L, C) layout throughout
             # (fused Pallas kernel on TPU, ops/time_attention.py)
             x = MultiheadAttention(
-                C, m.mha_heads, use_rope=True, name="mha_t", dtype=self.dtype
-            )(x, mask=mask.transpose(0, 2, 1))
+                C, m.mha_heads, use_rope=True, dropout=m.dropout, name="mha_t", dtype=self.dtype
+            )(x, mask=mask.transpose(0, 2, 1), train=self.train)
         x = residual + gate(x, g_t)
 
         residual = x
@@ -163,6 +166,7 @@ class LatentMDGen(nn.Module):
     cfg: MDGenConfig
     latent_dim: int
     dtype: jnp.dtype = jnp.float32
+    train: bool = False  # enables attention-prob dropout (reference mha.py:383, ipa.py:204)
 
     def setup(self):
         cfg = self.cfg
@@ -188,12 +192,14 @@ class LatentMDGen(nn.Module):
                     21, C, name="aatype_to_emb", embedding_init=nn.initializers.normal(1.0), dtype=self.dtype
                 )
             self.ipa_layers = [
-                IPALayer(cfg, dtype=self.dtype, name=f"ipa_layers_{i}") for i in range(m.num_layers)
+                IPALayer(cfg, dtype=self.dtype, train=self.train, name=f"ipa_layers_{i}")
+                for i in range(m.num_layers)
             ]
 
         layer_cls = nn.remat(LatentMDGenLayer) if m.grad_checkpointing else LatentMDGenLayer
         self.layers = [
-            layer_cls(cfg, dtype=self.dtype, name=f"layers_{i}") for i in range(m.num_layers)
+            layer_cls(cfg, dtype=self.dtype, train=self.train, name=f"layers_{i}")
+            for i in range(m.num_layers)
         ]
 
         if not (task.dynamic_mpnn or task.mpnn):

@@ -35,10 +35,12 @@ class InvariantPointAttention(nn.Module):
     no_heads: int = 4
     no_qk_points: int = 8
     no_v_points: int = 8
+    dropout: float = 0.0  # on attention weights (reference ipa.py:204)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, s: jnp.ndarray, r: Rigid, frame_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    def __call__(self, s: jnp.ndarray, r: Rigid, frame_mask: jnp.ndarray | None = None,
+                 train: bool = False) -> jnp.ndarray:
         H, Ch, Pq, Pv = self.no_heads, self.c_hidden, self.no_qk_points, self.no_v_points
         *batch, L, _ = s.shape
 
@@ -85,6 +87,8 @@ class InvariantPointAttention(nn.Module):
             a = a + (_INF * (square - 1))[..., None, :, :]
 
         a = jax.nn.softmax(a.astype(jnp.float32), axis=-1).astype(s.dtype)
+        if self.dropout > 0.0 and train:
+            a = nn.Dropout(self.dropout)(a, deterministic=False)
 
         o = jnp.einsum("...hqk,...khc->...qhc", a, v).reshape(*batch, L, H * Ch)
         o_pt = jnp.einsum("...hqk,...khpx->...qhpx", a, v_pts)

@@ -50,6 +50,12 @@ class Trainer:
         self.mesh = mesh if mesh is not None else make_mesh(cfg.train.dp_size or None, cfg.train.sp_size)
         self.dtype = dtype if dtype is not None else (jnp.bfloat16 if cfg.model.use_bf16 else jnp.float32)
         self.model = LatentMDGen(cfg, cfg.latent_dim, dtype=self.dtype)
+        # dropout-active twin for the training loss (same params; train=True
+        # switches on attention-prob dropout, reference mha.py:383, ipa.py:204)
+        self.model_train = (
+            LatentMDGen(cfg, cfg.latent_dim, dtype=self.dtype, train=True)
+            if cfg.model.dropout > 0.0 else self.model
+        )
         self.transport = create_transport(cfg)
         self.tx = make_optimizer(cfg)
         self._train_step = None
@@ -99,8 +105,13 @@ class Trainer:
         prep = prep_batch(self.cfg, feats)
         kw = prep["model_kwargs"]
 
+        rngs = None
+        if self.cfg.model.dropout > 0.0:
+            key, k_drop = jax.random.split(key)
+            rngs = {"dropout": k_drop}
+
         def model_fn(x, t, **kwargs):
-            return self.model.apply(params, x, t, **kwargs)
+            return self.model_train.apply(params, x, t, rngs=rngs, **kwargs)
 
         terms = self.transport.training_losses(
             model_fn,

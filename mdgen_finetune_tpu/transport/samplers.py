@@ -161,7 +161,11 @@ def ode_likelihood(
     (x0, delta_logp) where log p(x) = prior_logp(x0) - delta_logp.
 
     The reference evaluates the drift at (1 - t) and uses Rademacher probes
-    re-drawn each evaluation; here one probe per scan step via jvp.
+    re-drawn each evaluation; here one probe per scan step. The Hutchinson
+    contraction uses reverse mode — eps^T J via vjp, then dotted with eps —
+    which equals the jvp form (eps^T (J eps)) but also works through the
+    Pallas attention kernels' custom_vjp (jvp is undefined for custom_vjp
+    functions, and the TPU forward path uses them).
     """
     dt = (t1 - t0) / num_steps
     ts = t0 + dt * jnp.arange(num_steps, dtype=x.dtype)
@@ -173,8 +177,9 @@ def ode_likelihood(
         eps = jax.random.rademacher(k, xc.shape, dtype=xc.dtype)
         tv = _tvec(1.0 - t, xc)
         f = lambda y: drift(y, tv)
-        fx, jvp_eps = jax.jvp(f, (xc,), (eps,))
-        div = jnp.sum(jvp_eps * eps, axis=tuple(range(1, xc.ndim)))
+        fx, vjp_fn = jax.vjp(f, xc)
+        (eps_J,) = vjp_fn(eps)
+        div = jnp.sum(eps_J * eps, axis=tuple(range(1, xc.ndim)))
         return (xc - fx * dt, logp + div * dt), None
 
     (x0, delta_logp), _ = jax.lax.scan(step, (x, jnp.zeros(x.shape[0], x.dtype)), (ts, keys))
