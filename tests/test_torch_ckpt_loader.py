@@ -58,3 +58,64 @@ def test_load_lightning_checkpoint(tmp_path):
     we = np.asarray(ema["params"]["latent_to_emb"]["kernel"])
     np.testing.assert_allclose(we, 0.5 * w, atol=1e-6)
     assert hparams["args"]["prepend_ipa"] is True
+
+
+def test_load_full_size_checkpoint_forward_parity(tmp_path):
+    """Converter evidence at released-checkpoint scale (README.md:71-75: the
+    released .ckpt files are 5-layer / embed 384 / 16 MHA heads / IPA 4x32,
+    src/mdgen/parsing.py:86-93). The real files cannot be downloaded in this
+    environment (zero egress), so this drives load_reference_checkpoint on a
+    randomly-initialized reference checkpoint of the exact released
+    architecture and pins forward agreement between the torch model and the
+    converted flax params."""
+    torch.manual_seed(7)
+    args = make_args(
+        prepend_ipa=True, num_layers=5, embed_dim=384, mha_heads=16,
+        ipa_heads=4, ipa_head_dim=32, ipa_qk=8, ipa_v=8, num_frames=3,
+    )
+    from test_model_parity import FixedRef, random_frames
+    from mdgen_finetune_tpu.geometry.rigid import Rigid
+
+    ref = FixedRef(args, 21).eval()
+    sd = {f"model.{k}": v for k, v in ref.state_dict().items()}
+    ckpt = {"state_dict": sd, "hyper_parameters": {"args": vars(args)}}
+    path = str(tmp_path / "flagship.ckpt")
+    torch.save(ckpt, path)
+
+    params, ema, hparams = load_reference_checkpoint(path)
+    assert ema is None
+    assert hparams["args"]["embed_dim"] == 384
+
+    cfg = make_cfg(args)
+    mine = LatentMDGen(cfg, 21)
+    rng = np.random.default_rng(11)
+    B, T, L = 1, args.num_frames, args.crop
+    x = rng.normal(size=(B, T, L, 21)).astype(np.float32)
+    t = rng.uniform(0.1, 0.9, size=(B,)).astype(np.float32)
+    mask = np.ones((B, T, L), dtype=np.float32)
+    x_cond = rng.normal(size=(B, T, L, 21)).astype(np.float32)
+    x_cond_mask = (rng.uniform(size=(B, T, L)) < 0.3).astype(np.int64)
+    aatype = rng.integers(0, 20, size=(B, L))
+    rots, trans = random_frames((B, L))
+
+    ref_r = None
+    import test_model_parity as tmp_mod
+
+    ref_r = tmp_mod.RefRigid(tmp_mod.RefRotation(rot_mats=torch.tensor(rots)), torch.tensor(trans))
+    with torch.no_grad():
+        ref_out = ref(
+            torch.tensor(x), torch.tensor(t), torch.tensor(mask),
+            start_frames=ref_r, end_frames=ref_r,
+            x_cond=torch.tensor(x_cond), x_cond_mask=torch.tensor(x_cond_mask),
+            aatype=torch.tensor(aatype),
+        ).numpy()
+
+    out = np.asarray(mine.apply(
+        params, jnp.asarray(x), jnp.asarray(t), jnp.asarray(mask),
+        start_frames=Rigid(jnp.asarray(rots), jnp.asarray(trans)),
+        end_frames=Rigid(jnp.asarray(rots), jnp.asarray(trans)),
+        x_cond=jnp.asarray(x_cond), x_cond_mask=jnp.asarray(x_cond_mask),
+        aatype=jnp.asarray(aatype),
+    ))
+    assert out.shape == ref_out.shape
+    np.testing.assert_allclose(out, ref_out, atol=5e-4)
