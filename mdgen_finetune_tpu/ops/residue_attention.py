@@ -61,101 +61,131 @@ def _tables_np(n_pos: int, head_dim: int, channels: int):
     return cos, sin, first_half, S
 
 
-def _kernel(q_ref, k_ref, v_ref, bk_ref, bv_ref, mask_ref, cos_ref, sin_ref, fh_ref, s_ref,
-            o_ref, *, head_dim: int):
-    BT, L, C = q_ref.shape[1:]
+def _kernel(q_ref, k_ref, v_ref, bk_ref, bv_ref, bias_ref, cos_ref, sin_ref, fh_ref, s_ref,
+            st_ref, o_ref, *, head_dim: int, channels: int):
+    """Pair-loop formulation: inputs ride as (rows, L*C) — a FREE contiguous
+    reshape of (B, T, L, C) — so every residue slice is a static lane-tile
+    slice (C = a whole number of 128-lane tiles), and the unrolled L*(L+1)
+    pair loop is all 2D (rows, C) vector ops + (rows, C)@(C, H) MXU matmuls.
+    The earlier all-pairs (rows, L, J, C) formulation forced Mosaic to loop
+    4D dot_generals ~15x slower than this (PERF.md r2)."""
+    C = channels
+    BT, LC = q_ref.shape
+    L = LC // C
     J = L + 1
-    D = head_dim
-    half = D // 2
+    half = head_dim // 2
 
-    fh = fh_ref[...]  # (1, 1, C)
-    S = s_ref[...]  # (C, H)
+    fh = fh_ref[...]  # (1, C)
+    S = s_ref[...]  # (C, H) f32
+    St = st_ref[...]  # (H, C) f32
 
     def rotate_half(x32):
-        take_right = pltpu.roll(x32, C - half, 2)
-        take_left = pltpu.roll(x32, half, 2)
+        take_right = pltpu.roll(x32, C - half, 1)
+        take_left = pltpu.roll(x32, half, 1)
         return -take_right * fh + take_left * (1 - fh)
 
-    def rope(x, n):
-        # rolls need 32-bit data; the result returns to the input dtype so the
-        # big (BT, L, J, C) intermediates stay half-width on TPU
-        cos = cos_ref[:, :n].astype(jnp.float32)  # (1, n, C)
-        sin = sin_ref[:, :n].astype(jnp.float32)
+    def rope(x, pos):
+        cos = cos_ref[pos].astype(jnp.float32)  # (1, C)
+        sin = sin_ref[pos].astype(jnp.float32)
         x32 = x.astype(jnp.float32)
         return (x32 * cos + rotate_half(x32) * sin).astype(x.dtype)
 
-    q = rope(q_ref[0], L)  # (BT, L, C)
-    bk = jnp.broadcast_to(bk_ref[...][None], (BT, 1, C)).astype(k_ref.dtype)
-    bv = jnp.broadcast_to(bv_ref[...][None], (BT, 1, C)).astype(v_ref.dtype)
-    k = rope(jnp.concatenate([k_ref[0], bk], axis=1), J)  # (BT, J, C)
-    v = jnp.concatenate([v_ref[0], bv], axis=1)
+    q_all, k_all, v_all = q_ref[...], k_ref[...], v_ref[...]
+    qs = [rope(q_all[:, i * C:(i + 1) * C], i) for i in range(L)]  # each (BT, C)
+    ks = [rope(k_all[:, j * C:(j + 1) * C], j) for j in range(L)]
+    ks.append(rope(jnp.broadcast_to(bk_ref[...], (BT, C)), L))
+    vs = [v_all[:, j * C:(j + 1) * C] for j in range(L)]
+    vs.append(jnp.broadcast_to(bv_ref[...], (BT, C)))
 
-    # all-pairs products via one broadcasted multiply (no per-pair slicing),
-    # then ONE matmul sums channels within each head
-    e = q[:, :, None, :] * k[:, None, :, :]  # (BT, L, J, C)
-    logits = jax.lax.dot_general(
-        e, S.astype(e.dtype), (((3,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (BT, L, J, H) f32
+    Sd = S.astype(qs[0].dtype)
+    bias = bias_ref[...]  # (BT, J)
+    for i in range(L):
+        # logits for query i against all J keys: (BT, C) elementwise product,
+        # then one (BT, C)@(C, H) head-summing matmul per key
+        ls = []
+        for j in range(J):
+            e = qs[i] * ks[j]
+            l = jax.lax.dot_general(
+                e, Sd, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )  # (BT, H)
+            ls.append(l + bias[:, j:j + 1])
+        m = ls[0]
+        for l in ls[1:]:
+            m = jnp.maximum(m, l)
+        ps = [jnp.exp(l - m) for l in ls]
+        denom = ps[0]
+        for p in ps[1:]:
+            denom = denom + p
+        inv = 1.0 / denom
+        acc = jnp.zeros((BT, C), jnp.float32)
+        for j in range(J):
+            # expand head weights to channels ((BT, H) @ (H, C), f32 — a bf16
+            # lhs with a 16-lane contraction dim hits an unsupported Mosaic
+            # relayout) and accumulate p_ij * v_j
+            p_exp = jax.lax.dot_general(
+                ps[j] * inv, St, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )  # (BT, C)
+            acc = acc + p_exp * vs[j].astype(jnp.float32)
+        o_ref[:, i * C:(i + 1) * C] = acc.astype(o_ref.dtype)
 
-    valid = jnp.concatenate([mask_ref[0], jnp.ones((BT, 1), mask_ref.dtype)], axis=1)
-    logits = jnp.where(valid[:, None, :, None] > 0, logits, _NEG_INF)
-    m = jnp.max(logits, axis=2, keepdims=True)
-    p = jnp.exp(logits - m)
-    p = p / jnp.sum(p, axis=2, keepdims=True)  # (BT, L, J, H) f32
-    # expand head weights back to channels: (..., H) @ (H -> C)
-    # this dot stays f32: a bf16 lhs with a 16-lane contraction dim hits an
-    # unsupported relayout in Mosaic
-    p_exp = jax.lax.dot_general(
-        p, S, (((3,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(v.dtype)  # (BT, L, J, C)
-    out = jnp.sum(
-        (p_exp * v[:, None, :, :]).astype(jnp.float32), axis=2
-    )  # (BT, L, C): f32 accumulation over the J keys
-    o_ref[0] = out.astype(o_ref.dtype)
 
-
-@functools.partial(jax.jit, static_argnames=("num_heads", "interpret", "block_t"))
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret", "block_rows"))
 def _pallas_fwd(q, k, v, bias_k, bias_v, key_valid, num_heads: int, interpret: bool = False,
-                block_t: int = 64):
+                block_rows: int = 512):
     B, T, L, C = q.shape
     D = C // num_heads
+    J = L + 1
 
-    bt = min(-(-T // 8) * 8, block_t)
-    n_t = pl.cdiv(T, bt)
-    pad = n_t * bt - T
+    # (B, T) rows are independent: flatten them and fold the tiny residue dim
+    # into LANES — (rows, L*C) is a free contiguous reshape of (B, T, L, C),
+    # and per-residue slices inside the kernel are static whole-lane-tile
+    # slices (C is a multiple of 128). No transpose ever materializes; the
+    # kernel grid is a handful of fat row-block programs instead of
+    # B x (T / block) slivers.
+    rows = B * T
+    q, k, v = (a.reshape(rows, L * C) for a in (q, k, v))
+    # additive logit bias per (row, key j): 0 for attendable, -1e9 for masked;
+    # the learned bias token (j = L) is always attendable
+    bias = (key_valid.reshape(rows, L).astype(jnp.float32) - 1.0) * -_NEG_INF
+    bias = jnp.concatenate([bias, jnp.zeros((rows, 1), jnp.float32)], axis=1)  # (rows, J)
+
+    br = min(-(-rows // 8) * 8, block_rows)
+    n_r = pl.cdiv(rows, br)
+    pad = n_r * br - rows
     if pad:
-        zpad = ((0, 0), (0, pad), (0, 0), (0, 0))
-        q, k, v = jnp.pad(q, zpad), jnp.pad(k, zpad), jnp.pad(v, zpad)
-        key_valid = jnp.pad(key_valid, ((0, 0), (0, pad), (0, 0)), constant_values=1.0)
+        q, k, v = (jnp.pad(a, ((0, pad), (0, 0))) for a in (q, k, v))
+        bias = jnp.pad(bias, ((0, pad), (0, 0)))
 
-    cos_np, sin_np, fh_np, s_np = _tables_np(L + 1, D, C)
-    cos = jnp.asarray(cos_np, jnp.float32).reshape(1, L + 1, C)
-    sin = jnp.asarray(sin_np, jnp.float32).reshape(1, L + 1, C)
-    fh = jnp.asarray(fh_np, jnp.float32).reshape(1, 1, C)
+    cos_np, sin_np, fh_np, s_np = _tables_np(J, D, C)
+    cos = jnp.asarray(cos_np, jnp.float32).reshape(J, 1, C)
+    sin = jnp.asarray(sin_np, jnp.float32).reshape(J, 1, C)
+    fh = jnp.asarray(fh_np, jnp.float32).reshape(1, C)
     S = jnp.asarray(s_np, jnp.float32)
     bk = bias_k.reshape(1, C).astype(q.dtype)
     bv = bias_v.reshape(1, C).astype(q.dtype)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, head_dim=D),
-        grid=(B, n_t),
+        functools.partial(_kernel, head_dim=D, channels=C),
+        grid=(n_r,),
         in_specs=[
-            pl.BlockSpec((1, bt, L, C), lambda b, i: (b, i, 0, 0)),
-            pl.BlockSpec((1, bt, L, C), lambda b, i: (b, i, 0, 0)),
-            pl.BlockSpec((1, bt, L, C), lambda b, i: (b, i, 0, 0)),
-            pl.BlockSpec((1, C), lambda b, i: (0, 0)),
-            pl.BlockSpec((1, C), lambda b, i: (0, 0)),
-            pl.BlockSpec((1, bt, L), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, L + 1, C), lambda b, i: (0, 0, 0)),
-            pl.BlockSpec((1, L + 1, C), lambda b, i: (0, 0, 0)),
-            pl.BlockSpec((1, 1, C), lambda b, i: (0, 0, 0)),
-            pl.BlockSpec((C, num_heads), lambda b, i: (0, 0)),
+            pl.BlockSpec((br, L * C), lambda i: (i, 0)),
+            pl.BlockSpec((br, L * C), lambda i: (i, 0)),
+            pl.BlockSpec((br, L * C), lambda i: (i, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+            pl.BlockSpec((br, J), lambda i: (i, 0)),
+            pl.BlockSpec((J, 1, C), lambda i: (0, 0, 0)),
+            pl.BlockSpec((J, 1, C), lambda i: (0, 0, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+            pl.BlockSpec((C, num_heads), lambda i: (0, 0)),
+            pl.BlockSpec((num_heads, C), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, bt, L, C), lambda b, i: (b, i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, n_t * bt, L, C), q.dtype),
+        out_specs=pl.BlockSpec((br, L * C), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_r * br, L * C), q.dtype),
         interpret=interpret,
-    )(q, k, v, bk, bv, key_valid.astype(jnp.float32), cos, sin, fh, S)
-    return out[:, :T] if pad else out
+    )(q, k, v, bk, bv, bias, cos, sin, fh, S, S.T)
+    out = out[:rows] if pad else out
+    return out.reshape(B, T, L, C)
 
 
 # ---------------------------------------------------------------------------
