@@ -40,14 +40,26 @@ class MultiheadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None,
-                 axis: str = "time", train: bool = False) -> jnp.ndarray:
+                 axis: str = "time", train: bool = False,
+                 tl: tuple | None = None) -> jnp.ndarray:
         """x: (B, N, C) with mask (B, N); or, for the factorized stages,
-        x: (B, T, L, C) — with axis="time" attention runs over T with (B, L)
-        as batch and mask (B, L, T); with axis="residue" it runs over L with
-        (B, T) as batch and mask (B, T, L). Both 4D paths stay in (B, T, L, C)
-        layout via the fused Pallas kernels (ops/time_attention.py,
-        ops/residue_attention.py) so no activation transpose happens.
-        1 = valid. Returns the same shape as x."""
+        x: (B, T*L, C) with ``tl=(T, L)`` — with axis="time" attention runs
+        over T with (B, L) as batch and mask (B, L, T); with axis="residue"
+        it runs over L with (B, T) as batch and mask (B, T, L). The
+        factorized paths keep the trunk's flat (B, T*L, C) layout for every
+        matmul — a physically 4D (..., L, C) tensor pads L to 8 sublanes on
+        TPU, doubling the slots of every op touching it — and the 4D views
+        handed to the fused kernels cancel against the kernels' internal
+        reshapes (ops/time_attention.py, ops/residue_attention.py).
+        1 = valid. Returns the same shape as x. (A 4D x is accepted and
+        flattened for backward compatibility.)"""
+        unflatten = None
+        if x.ndim == 4:
+            B4, T4, L4, C4 = x.shape
+            x = x.reshape(B4, T4 * L4, C4)
+            tl = (T4, L4)
+            unflatten = lambda o: o.reshape(B4, T4, L4, C4)
+
         C = x.shape[-1]
         H = self.num_heads
         D = C // H
@@ -63,27 +75,32 @@ class MultiheadAttention(nn.Module):
 
         drop = self.dropout > 0.0 and train  # dropout needs the dense-probs path
 
-        if x.ndim == 4:
+        if tl is not None:
+            T4, L4 = tl
+            B4 = x.shape[0]
             if not self.use_rope:
-                raise NotImplementedError("4D factorized-attention paths assume RoPE")
+                raise NotImplementedError("factorized-attention paths assume RoPE")
             if not drop:
                 attend = time_attention if axis == "time" else residue_attention
+                q4, k4, v4 = (a.reshape(B4, T4, L4, C) for a in (q, k, v))
                 out = attend(
-                    q, k, v, bias_k.astype(q.dtype), bias_v.astype(v.dtype), mask,
+                    q4, k4, v4, bias_k.astype(q.dtype), bias_v.astype(v.dtype), mask,
                     num_heads=H,
                 )
-                return dense(C, name="out_proj", dtype=self.dtype)(out)
+                out = dense(C, name="out_proj", dtype=self.dtype)(out.reshape(B4, T4 * L4, C))
+                return unflatten(out) if unflatten is not None else out
             # training with dropout: fold to the (parity-tested-equal) 3D view
-            B4, T4, L4, _ = x.shape
             if axis == "residue":
                 q, k, v = (a.reshape(B4 * T4, L4, C) for a in (q, k, v))
-                mask3, unfold = mask.reshape(B4 * T4, L4), lambda o: o.reshape(B4, T4, L4, C)
+                mask3, unfold = mask.reshape(B4 * T4, L4), lambda o: o.reshape(B4, T4 * L4, C)
             else:
-                q, k, v = (a.transpose(0, 2, 1, 3).reshape(B4 * L4, T4, C) for a in (q, k, v))
+                q, k, v = (a.reshape(B4, T4, L4, C).transpose(0, 2, 1, 3).reshape(B4 * L4, T4, C)
+                           for a in (q, k, v))
                 mask3 = mask.reshape(B4 * L4, T4)
-                unfold = lambda o: o.reshape(B4, L4, T4, C).transpose(0, 2, 1, 3)
+                unfold = lambda o: o.reshape(B4, L4, T4, C).transpose(0, 2, 1, 3).reshape(B4, T4 * L4, C)
             out = self._dense_attn(q, k, v, mask3, bias_k, bias_v, H, D, drop)
-            return dense(C, name="out_proj", dtype=self.dtype)(unfold(out))
+            out = dense(C, name="out_proj", dtype=self.dtype)(unfold(out))
+            return unflatten(out) if unflatten is not None else out
 
         out = self._dense_attn(q, k, v, mask, bias_k, bias_v, H, D, drop)
         return dense(C, name="out_proj", dtype=self.dtype)(out)

@@ -104,16 +104,24 @@ class LatentMDGenLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, t_emb, mask, frames: Optional[Rigid] = None):
-        B, T, L, C = x.shape
+        """x: (B, T*L, C) flat trunk layout (mask (B, T, L) carries the
+        factorization). A (..., L, C) tensor with small L pads L to 8
+        sublanes on TPU, so the trunk NEVER computes in 4D — every LN /
+        modulate / matmul runs on the flat (B, T*L, C) view and 4D shapes
+        exist only between cancelling reshapes at the attention kernels."""
+        B, T, L = mask.shape
+        C = x.shape[-1]
         m = self.cfg.model
         mod = dense(9 * C, name="adaLN", kernel_init=zero_init, dtype=self.dtype)(nn.silu(t_emb))
         sh_l, sc_l, g_l, sh_t, sc_t, g_t, sh_m, sc_m, g_m = jnp.split(mod, 9, axis=-1)
 
         if m.interleave_ipa:
-            ipa_in = nn.LayerNorm(epsilon=1e-5, name="ipa_norm", dtype=self.dtype)(x)
-            x = x + InvariantPointAttention(
+            x4 = x.reshape(B, T, L, C)
+            ipa_in = nn.LayerNorm(epsilon=1e-5, name="ipa_norm", dtype=self.dtype)(x4)
+            x4 = x4 + InvariantPointAttention(
                 **_ipa_kwargs(self.cfg, self.dtype), dropout=m.dropout, name="ipa"
             )(ipa_in, Rigid(frames.rot[:, None], frames.trans[:, None]), frame_mask=mask, train=self.train)
+            x = x4.reshape(B, T * L, C)
 
         # attention over residues, frames as batch
         residual = x
@@ -121,37 +129,37 @@ class LatentMDGenLayer(nn.Module):
         if m.no_rope:
             x = MultiheadAttention(
                 C, m.mha_heads, use_rope=False, dropout=m.dropout, name="mha_l", dtype=self.dtype
-            )(x.reshape(B * T, L, C), mask=mask.reshape(B * T, L), train=self.train).reshape(B, T, L, C)
+            )(x.reshape(B * T, L, C), mask=mask.reshape(B * T, L), train=self.train).reshape(B, T * L, C)
         else:
-            # 4D residue-attention path: stays in (B, T, L, C) layout
-            # (fused small-L Pallas kernel on TPU, ops/residue_attention.py)
+            # factorized residue-attention path (fused small-L Pallas kernel
+            # on TPU, ops/residue_attention.py)
             x = MultiheadAttention(
                 C, m.mha_heads, use_rope=True, dropout=m.dropout, name="mha_l", dtype=self.dtype
-            )(x, mask=mask, axis="residue", train=self.train)
+            )(x, mask=mask, axis="residue", train=self.train, tl=(T, L))
         x = residual + gate(x, g_l)
 
         # attention (or Hyena) over frames, residues as batch
         residual = x
         x = modulate(layer_norm(x), sh_t, sc_t)
         if m.hyena:
-            xt = x.transpose(0, 2, 1, 3).reshape(B * L, T, C)
+            xt = x.reshape(B, T, L, C).transpose(0, 2, 1, 3).reshape(B * L, T, C)
             xt = HyenaOperator(
                 d_model=C, l_max=self.cfg.data.num_frames, order=2,
                 filter_order=m.hyena_filter_order, name="mha_t", dtype=self.dtype,
             )(xt)
-            x = xt.reshape(B, L, T, C).transpose(0, 2, 1, 3)
+            x = xt.reshape(B, L, T, C).transpose(0, 2, 1, 3).reshape(B, T * L, C)
         elif m.no_rope:
-            xt = x.transpose(0, 2, 1, 3).reshape(B * L, T, C)
+            xt = x.reshape(B, T, L, C).transpose(0, 2, 1, 3).reshape(B * L, T, C)
             xt = MultiheadAttention(
                 C, m.mha_heads, use_rope=False, dropout=m.dropout, name="mha_t", dtype=self.dtype
             )(xt, mask=mask.transpose(0, 2, 1).reshape(B * L, T), train=self.train)
-            x = xt.reshape(B, L, T, C).transpose(0, 2, 1, 3)
+            x = xt.reshape(B, L, T, C).transpose(0, 2, 1, 3).reshape(B, T * L, C)
         else:
-            # 4D frame-attention path: stays in (B, T, L, C) layout throughout
-            # (fused Pallas kernel on TPU, ops/time_attention.py)
+            # factorized frame-attention path (fused Pallas kernel on TPU,
+            # ops/time_attention.py)
             x = MultiheadAttention(
                 C, m.mha_heads, use_rope=True, dropout=m.dropout, name="mha_t", dtype=self.dtype
-            )(x, mask=mask.transpose(0, 2, 1), train=self.train)
+            )(x, mask=mask.transpose(0, 2, 1), train=self.train, tl=(T, L))
         x = residual + gate(x, g_t)
 
         residual = x
@@ -285,13 +293,18 @@ class LatentMDGen(nn.Module):
             )
             h = h + enc[:, None]
 
+        # flat (B, T*L, C) trunk: small L pads to 8 sublanes in any physical
+        # (..., L, C) tensor, so every trunk op runs on the flat view; the
+        # attention kernels' internal reshapes cancel against this one
+        B, T, L, C = h.shape
+        h = h.reshape(B, T * L, C)
         for layer in self.layers:
             h = layer(h, t_emb, mask, start_frames)
 
         if not (task.dynamic_mpnn or task.mpnn):
-            latent = self.emb_to_latent(h, t_emb)
+            latent = self.emb_to_latent(h, t_emb).reshape(B, T, L, -1)
         if task.design:
-            x_l = self.fc2(gelu_erf(self.fc1(h))).mean(axis=1)  # pool over frames
+            x_l = self.fc2(gelu_erf(self.fc1(h))).reshape(B, T, L, C).mean(axis=1)  # pool over frames
             logits = self.emb_to_logits(gelu_erf(self.fc3(x_l)))  # (B, L, 20)
             if task.dynamic_mpnn or task.mpnn:
                 return logits[:, None]

@@ -149,7 +149,15 @@ def _pallas_fwd(q, k, v, bias_k, bias_v, key_valid, num_heads: int, interpret: b
     bias = (key_valid.reshape(rows, L).astype(jnp.float32) - 1.0) * -_NEG_INF
     bias = jnp.concatenate([bias, jnp.zeros((rows, 1), jnp.float32)], axis=1)  # (rows, J)
 
+    # prefer a block size that divides the row count: the residual jnp.pad
+    # path triggers a backend compiler crash when fused into large graphs at
+    # some batch sizes (observed at B=64, r2), and padding wastes work anyway
     br = min(-(-rows // 8) * 8, block_rows)
+    if rows % br:
+        for cand in range(block_rows, 31, -8):
+            if rows % cand == 0:
+                br = cand
+                break
     n_r = pl.cdiv(rows, br)
     pad = n_r * br - rows
     if pad:
@@ -237,6 +245,10 @@ def residue_attention(q, k, v, bias_k, bias_v, key_valid=None, *, num_heads: int
     force_pallas = force_pallas or env == "pallas"
     use_pallas = force_pallas or (
         not force_xla and jax.default_backend() == "tpu" and L <= MAX_L
+        # very large fused graphs around the kernel crash the backend
+        # compiler at B*T >~ 12k rows (observed at B=128, T=100, r2);
+        # fall back to XLA there
+        and B * T <= 8192
     )
     if use_pallas:
         return _residue_attention_pallas(q, k, v, bias_k, bias_v, key_valid, num_heads)
