@@ -1,34 +1,33 @@
-"""Pallas TPU fused frame(time)-attention operating in (B, T, L, C) layout.
+"""Pallas TPU fused frame(time)-attention for SMALL L in (B, T, L, C) layout.
 
 The denoiser's frame-attention stage (reference hot loop,
 src/mdgen/model/latent_model.py:474-486) attends over T with (B, L) as batch.
-The XLA composition needs two full-activation layout flips per layer
-((B,T,L,C) <-> (B,L,T,C)) plus head-split transposes, and materializes the
-(B*L, H, T, T) logits in HBM — measured at ~3 ms of pure copies per forward
-at the bench shape and an HBM cap of B=32 (PERF.md). This kernel removes all
-of it with a layout-native design:
+At small L the XLA composition is the biggest cost in the forward (~0.58
+ms/layer at the bench shape, PERF.md r2): it transposes the activation to
+(B*L, T, C), head-splits to D=24-minor tensors, runs 2048 tiny batched
+matmuls at <1% MXU utilization, and materializes the (B*L, H, T, T) f32
+logits in HBM. This kernel removes all of it with the same lessons the
+residue kernel encoded (keep kernel math 2D, fold tiny dims into lanes,
+fat programs):
 
-- grid (B, L/BL, T/BQ): each program reads its Q block and the full (T, ...)
-  K/V slice for a BL-residue group straight from the frame-major layout — no
-  activation transpose ever exists in HBM;
-- every VMEM tensor keeps the full C=H*D channel dim as its lane dim, so
-  nothing is lane-padded (a (..., D=24) tile would waste 104/128 lanes);
-- per-head separation happens through constant head-column masks: for head h,
-  ``logits_h = (q * mask_h) @ k^T`` contracts the full C but is exactly the
-  head-h dot product (q's other columns are zeroed). PV likewise accumulates
-  ``(p_h @ v) * mask_h``. H x redundant MXU flops, but these matmuls contract
-  K=C=384 at full MXU width — cheaper than D=24-wide matmuls and far cheaper
-  than the transposes they replace;
-- RoPE's rotate-half is two lane-rolls + constant sign masks (the (j, j+D/2)
-  pairing within each head's D-lane block), no lane reshapes;
-- the learned bias-KV token is appended as one extra key row, roped at
-  position T (reference mha.py:265-280, 356-357);
-- f32 logits live one head at a time in VMEM.
+- inputs ride as (B, T, L*C) — a free contiguous reshape — with grid (B,):
+  32 fat programs at the bench shape, no activation transpose ever exists;
+- per residue r, q/k/v slices are static lane-tile slices (C = 3 tiles);
+- heads are processed in GROUPS that fit one 128-lane tile (5 heads x D=24):
+  for group g the stacked query block QS = [q_rg * m_0; ...; q_rg * m_gh]
+  (gh*T, gh*D) computes EVERY head's logits in ONE MXU matmul
+  QS @ kb_rg^T with a single-K-tile contraction — ~1.25x redundant flops
+  instead of the 16x of a full-C masked formulation, and no D=24-minor
+  tensor is ever formed;
+- softmax runs on (gh*T, TK) f32 entirely in VMEM; PV is one more single-
+  K-tile matmul; the per-head rows are unstacked with the same masks and
+  lane-concatenated into the (T, C) output slice;
+- RoPE's rotate-half is two lane-rolls + constant sign masks; the learned
+  bias-KV token is appended as one key row, roped at position T
+  (mha.py:265-280, 356-357).
 
 Backward: custom VJP whose backward is the VJP of the XLA reference
-composition — forward-path speed is what the sampling/serving throughput
-metric measures; the training backward stays numerically exact and reuses
-XLA's transpose engine.
+composition (numerically exact, reuses XLA's transpose engine).
 """
 from __future__ import annotations
 
@@ -42,14 +41,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .fused_attention import _attention_xla
 
+MAX_L = 8  # per-residue unrolled loop
+MAX_T = 256  # full-K/V-in-VMEM design; longer T uses the flash path via XLA
+
 _NEG_INF = -1e9
 
 
 @functools.lru_cache(maxsize=16)
 def _rope_tables_np(n_pos: int, head_dim: int, channels: int):
-    """(n_pos, C) cos/sin tables tiled across heads, plus the constant lane
-    mask for the rotate-half roll trick: rotate_half(x)[j] =
-    -x[j + D/2] where (j mod D) < D/2 else x[j - D/2]."""
+    """(n_pos, C) cos/sin tables tiled across heads, plus the rotate-half
+    first-half lane mask (1, C)."""
     inv_freq = 1.0 / (10000 ** (np.arange(0, head_dim, 2, dtype=np.float32) / head_dim))
     t = np.arange(n_pos, dtype=np.float32)
     freqs = np.einsum("i,j->ij", t, inv_freq)
@@ -57,152 +58,132 @@ def _rope_tables_np(n_pos: int, head_dim: int, channels: int):
     n_heads = channels // head_dim
     cos = np.tile(np.cos(emb), (1, n_heads))
     sin = np.tile(np.sin(emb), (1, n_heads))
-
     lane = np.arange(channels) % head_dim
-    first_half = (lane < head_dim // 2).astype(np.float32)  # 1 where out = -x[j+half]
+    first_half = (lane < head_dim // 2).astype(np.float32)
     return cos, sin, first_half
 
 
-def _kernel(q_ref, k_ref, v_ref, bk_ref, bv_ref, mask_ref, cos_ref, sin_ref, fh_ref, o_ref,
-            *, num_heads: int, head_dim: int):
-    H, D = num_heads, head_dim
-    BQ, BL, C = q_ref.shape[1:]
-    T = k_ref.shape[1]
-    i = pl.program_id(2)
-    half = D // 2
+def _group_masks(head_dim: int, group_heads: int, dtype):
+    """(gh, 1, gh*D) one-hot-per-head lane masks for the stacked rows,
+    generated with iotas (Pallas kernels cannot capture host constants)."""
+    W = group_heads * head_dim
+    lane = jax.lax.broadcasted_iota(jnp.int32, (group_heads, 1, W), 2)
+    j = jax.lax.broadcasted_iota(jnp.int32, (group_heads, 1, W), 0)
+    return ((lane >= j * head_dim) & (lane < (j + 1) * head_dim)).astype(dtype)
 
-    fh = fh_ref[...]  # (1, 1, C): 1 on each head's first half-lanes
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, C), 2)
+
+def _kernel(q_ref, k_ref, v_ref, bk_ref, bv_ref, bias_ref, cos_ref, sin_ref, fh_ref,
+            o_ref, *, num_heads: int, head_dim: int, channels: int, t_real: int):
+    C, H, D = channels, num_heads, head_dim
+    T = q_ref.shape[1]
+    LC = q_ref.shape[2]
+    L = LC // C
+    TK = t_real + 1  # keys + learned bias token
+    half = D // 2
+    Gh = max(1, 128 // D)  # heads per lane-tile group
+
+    fh = fh_ref[...]  # (1, C)
 
     def rotate_half(x32):
-        # out[first] = -x[j+half]; out[second] = x[j-half]. The rolls are
-        # global circular lane shifts; the head-boundary wraparound only lands
-        # on lanes the masks zero out, so heads never leak into each other.
-        # (tpu.roll only supports 32-bit data, hence the f32 working type.)
-        take_right = pltpu.roll(x32, C - half, 2)  # out[j] = x[j+half] (shift >= 0)
-        take_left = pltpu.roll(x32, half, 2)  # out[j] = x[j-half]
+        take_right = pltpu.roll(x32, C - half, 1)
+        take_left = pltpu.roll(x32, half, 1)
         return -take_right * fh + take_left * (1 - fh)
 
-    def rope(x, pos_start, n):
-        """x (n, BL, C); positions along dim 0."""
-        start = pl.multiple_of(pos_start, 8)  # BQ is a multiple of 8
-        cos = cos_ref[pl.ds(start, n)].astype(jnp.float32)  # (n, 1, C)
-        sin = sin_ref[pl.ds(start, n)].astype(jnp.float32)
+    def rope(x, n0, n):
+        # rows n0..n0+n-1 of the position tables; f32 compute, back to input dtype
+        cos = cos_ref[pl.ds(n0, n)].astype(jnp.float32)  # (n, C)
+        sin = sin_ref[pl.ds(n0, n)].astype(jnp.float32)
         x32 = x.astype(jnp.float32)
         return (x32 * cos + rotate_half(x32) * sin).astype(x.dtype)
 
-    q = rope(q_ref[0], i * BQ, BQ)  # (BQ, BL, C)
-    bk = jnp.broadcast_to(bk_ref[...][None], (1, BL, C)).astype(k_ref.dtype)
-    bv = jnp.broadcast_to(bv_ref[...][None], (1, BL, C)).astype(v_ref.dtype)
-    k = rope(jnp.concatenate([k_ref[0], bk], axis=0), 0, T + 1)  # (T+1, BL, C)
-    v = jnp.concatenate([v_ref[0], bv], axis=0)
-    # Mosaic batched matmuls require the batch dim at position 0
-    q = q.transpose(1, 0, 2)  # (BL, BQ, C)
-    k = k.transpose(1, 0, 2)  # (BL, T+1, C)
-    v = v.transpose(1, 0, 2)
+    bk_row = rope(bk_ref[...], t_real, 1)  # bias token carries position T
+    bv_row = bv_ref[...]
 
-    valid = jnp.concatenate(
-        [mask_ref[0], jnp.ones((BL, 1), mask_ref.dtype)], axis=1
-    )[:, None, :]  # (BL, 1, T+1)
+    for r in range(L):
+        q_r = rope(q_ref[0, :, r * C:(r + 1) * C], 0, T)  # (T, C)
+        k_r = rope(k_ref[0, :t_real, r * C:(r + 1) * C], 0, t_real)
+        kb_r = jnp.concatenate([k_r, bk_row.astype(k_r.dtype)], axis=0)  # (TK, C)
+        vb_r = jnp.concatenate(
+            [v_ref[0, :t_real, r * C:(r + 1) * C], bv_row.astype(v_ref.dtype)], axis=0
+        )
+        bias = bias_ref[0, r:r + 1, :]  # (1, TK): -1e9 on masked keys
 
-    # Stacked-heads formulation: H per-head (BQ, C)@(C, T+1) dots would be
-    # tiny, latency-bound matmuls. Instead stack H masked copies of q along
-    # the row dim — ONE (H*BQ, C)@(C, T+1) MXU-shaped matmul computes every
-    # head's logits row-block h at rows [h*BQ, (h+1)*BQ).
-    head = jax.lax.broadcasted_iota(jnp.int32, (1, H, 1, 1), 1)
-    hmask = jnp.logical_and(lane[None] >= head * D, lane[None] < (head + 1) * D)
-    hmask = hmask.astype(q.dtype)  # (1, H, 1, C)
-    qs = (q[:, None] * hmask).reshape(BL, H * BQ, C)
-    logits = jax.lax.dot_general(
-        qs, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )  # (BL, H*BQ, T+1)
-    logits = jnp.where(valid > 0, logits, _NEG_INF)
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    pv = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )  # (BL, H*BQ, C)
-    out = jnp.sum(pv.reshape(BL, H, BQ, C) * hmask.astype(jnp.float32), axis=1)
-
-    o_ref[0] = out.transpose(1, 0, 2).astype(o_ref.dtype)
-
-
-def _block_sizes(T: int, L: int, C: int, H: int, budget: int = 11 * 1024 * 1024):
-    """(BL, BQ) or None: the residue block is L or 8 (Mosaic dim -2 rule); BQ
-    is a multiple of 8, shrunk until the estimated VMEM working set fits.
-    Returns None when the full-K/V-per-program design cannot fit (long T) or
-    BQ would degenerate — the caller falls back to the XLA composition, whose
-    inner fused_attention engages the flash kernel at long sequence lengths."""
-    bl = 8 if (L > 8 and L % 8 == 0) else L
-
-    def est(bq):
-        q_like = 4 * bq * bl * C * 2  # q block (x2 buffers), roped q, out block
-        k_like = 6 * T * bl * C * 2  # k, v blocks (x2 buffers), roped k, v+bias
-        lpad = -(-(T + 1) // 128) * 128
-        stacked = 2 * bl * H * bq * C * 2  # head-stacked q rows + pv (bf16)
-        logit_like = 2 * bl * H * bq * lpad * 4  # logits + p over all heads
-        out_acc = bq * bl * C * 4
-        return q_like + k_like + stacked + logit_like + out_acc
-
-    bq = -(-T // 8) * 8
-    while est(bq) > budget and bq > 32:
-        bq = max((bq // 2 + 7) // 8 * 8, 32)
-    if est(bq) > budget:
-        return None
-    return bl, bq
+        outs = []
+        h0 = 0
+        while h0 < H:
+            gh = min(Gh, H - h0)
+            W = gh * D
+            lo = h0 * D
+            q_rg = q_r[:, lo:lo + W]  # (T, W)
+            kb_rg = kb_r[:, lo:lo + W]  # (TK, W)
+            vb_rg = vb_r[:, lo:lo + W]
+            masks = _group_masks(D, gh, q_rg.dtype)  # (gh, 1, W)
+            # stacked rows: block j is q_rg with every lane outside head j zeroed,
+            # so ONE (gh*T, W) @ (W, TK) matmul yields every head's logits
+            qs = (q_rg[None] * masks).reshape(gh * T, W)
+            logits = jax.lax.dot_general(
+                qs, kb_rg, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )  # (gh*T, TK)
+            logits = logits + bias
+            m = jnp.max(logits, axis=1, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = p / jnp.sum(p, axis=1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(vb_rg.dtype), vb_rg, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (gh*T, W)
+            out_g = jnp.sum(pv.reshape(gh, T, W) * masks.astype(jnp.float32), axis=0)
+            outs.append(out_g)  # (T, W) f32
+            h0 += gh
+        o_ref[0, :, r * C:(r + 1) * C] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
 def _pallas_fwd(q, k, v, bias_k, bias_v, key_valid, num_heads: int, interpret: bool = False):
     B, T, L, C = q.shape
     D = C // num_heads
+    TK = T + 1
 
-    sizes = _block_sizes(T, L, C, num_heads)
-    assert sizes is not None, "caller must gate on _block_sizes fitting VMEM"
-    bl, bq = sizes
-    n_l = pl.cdiv(L, bl)
-    n_q = pl.cdiv(T, bq)
-    pad = n_q * bq - T
-    if pad:
-        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    q, k, v = (a.reshape(B, T, L * C) for a in (q, k, v))
+    # additive logit bias per (b, residue, key): 0 attendable / -1e9 masked;
+    # the learned bias token (last key) is always attendable
+    bias = (key_valid.astype(jnp.float32) - 1.0) * -_NEG_INF  # (B, L, T)
+    bias = jnp.concatenate([bias, jnp.zeros((B, L, 1), jnp.float32)], axis=2)
 
-    # table rows must cover every q block's [i*bq, i*bq+bq) slice — a clamped
-    # dynamic slice would silently corrupt the last block's positions
-    n_pos = max(T + 1, n_q * bq)
+    n_pos = max(T, TK)
     cos_np, sin_np, fh_np = _rope_tables_np(n_pos, D, C)
-    cos = jnp.asarray(cos_np, q.dtype).reshape(n_pos, 1, C)
-    sin = jnp.asarray(sin_np, q.dtype).reshape(n_pos, 1, C)
-    fh = jnp.asarray(fh_np, jnp.float32).reshape(1, 1, C)
+    cos = jnp.asarray(cos_np, jnp.float32)
+    sin = jnp.asarray(sin_np, jnp.float32)
+    fh = jnp.asarray(fh_np, jnp.float32).reshape(1, C)
     bk = bias_k.reshape(1, C).astype(q.dtype)
     bv = bias_v.reshape(1, C).astype(q.dtype)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, num_heads=num_heads, head_dim=D),
-        grid=(B, n_l, n_q),
+        functools.partial(_kernel, num_heads=num_heads, head_dim=D, channels=C, t_real=T),
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, bq, bl, C), lambda b, l, i: (b, i, l, 0)),
-            pl.BlockSpec((1, T, bl, C), lambda b, l, i: (b, 0, l, 0)),
-            pl.BlockSpec((1, T, bl, C), lambda b, l, i: (b, 0, l, 0)),
-            pl.BlockSpec((1, C), lambda b, l, i: (0, 0)),
-            pl.BlockSpec((1, C), lambda b, l, i: (0, 0)),
-            pl.BlockSpec((1, bl, T), lambda b, l, i: (b, l, 0)),
-            pl.BlockSpec((n_pos, 1, C), lambda b, l, i: (0, 0, 0)),
-            pl.BlockSpec((n_pos, 1, C), lambda b, l, i: (0, 0, 0)),
-            pl.BlockSpec((1, 1, C), lambda b, l, i: (0, 0, 0)),
+            pl.BlockSpec((1, T, L * C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, T, L * C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, T, L * C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, C), lambda b: (0, 0)),
+            pl.BlockSpec((1, C), lambda b: (0, 0)),
+            pl.BlockSpec((1, L, TK), lambda b: (b, 0, 0)),
+            pl.BlockSpec((n_pos, C), lambda b: (0, 0)),
+            pl.BlockSpec((n_pos, C), lambda b: (0, 0)),
+            pl.BlockSpec((1, C), lambda b: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, bq, bl, C), lambda b, l, i: (b, i, l, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, n_q * bq, L, C), q.dtype),
+        out_specs=pl.BlockSpec((1, T, L * C), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, T, L * C), q.dtype),
         interpret=interpret,
-    )(q, k, v, bk, bv, key_valid.astype(jnp.float32), cos, sin, fh)
-    return out[:, :T] if pad else out
+    )(q, k, v, bk, bv, bias, cos, sin, fh)
+    return out.reshape(B, T, L, C)
 
 
 # ---------------------------------------------------------------------------
 def _xla_impl(q, k, v, bias_k, bias_v, key_valid, num_heads: int):
     """Reference composition: transpose to (B*L, T, ...), bias append, rope,
-    masked softmax attention, transpose back. Used on CPU and as the VJP
-    backward of the Pallas forward."""
+    masked softmax attention, transpose back. Used on CPU, at large L/T, and
+    as the VJP backward of the Pallas forward."""
     from ..models.rope import apply_rope
 
     B, T, L, C = q.shape
@@ -250,7 +231,7 @@ _time_attention_pallas.defvjp(_ta_fwd, _ta_bwd)
 
 def time_attention(q, k, v, bias_k, bias_v, key_valid=None, *, num_heads: int,
                    force_xla: bool = False, force_pallas: bool = False):
-    """Frame attention in (B, T, L, C) layout.
+    """Frame attention in (B, T, L, C) layout: attends over T, batch (B, L).
 
     q pre-scaled by head_dim**-0.5 and already projected; k, v projected;
     bias_k/bias_v (1, 1, C) or (C,); key_valid (B, L, T) with 1 = attendable
@@ -261,13 +242,13 @@ def time_attention(q, k, v, bias_k, bias_v, key_valid=None, *, num_heads: int,
     B, T, L, C = q.shape
     if key_valid is None:
         key_valid = jnp.ones((B, L, T), jnp.float32)
-    env = os.environ.get("MDGEN_TIME_ATTENTION", "")  # "xla" | "pallas" override for A/B
+    env = os.environ.get("MDGEN_TIME_ATTENTION", "")  # "xla" | "pallas" A/B override
+    force_xla = force_xla or env == "xla"
     force_pallas = force_pallas or env == "pallas"
-    # Default OFF: measured end-to-end at the bench shape the XLA composition
-    # (whose inner fused_attention engages the flash kernel at long T) beats
-    # this kernel — 2246 vs 1908 steps/s (PERF.md r2). Kept as a tested
-    # building block behind force_pallas / the env override.
-    use_pallas = force_pallas and _block_sizes(T, L, C, num_heads) is not None
+    use_pallas = force_pallas or (
+        not force_xla and jax.default_backend() == "tpu"
+        and L <= MAX_L and T <= MAX_T and C % 128 == 0
+    )
     if use_pallas:
         return _time_attention_pallas(q, k, v, bias_k, bias_v, key_valid, num_heads)
     return _xla_impl(q, k, v, bias_k, bias_v, key_valid, num_heads)
