@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from ..config import MDGenConfig
 from ..geometry.rigid import Rigid
+from ..ops.adaln_mlp import adaln_mlp
 from ..transport.dirichlet import DirichletConditionalFlow, simplex_proj
 from ..transport.transport import t_to_alpha
 from .attention import MultiheadAttention
@@ -47,6 +48,23 @@ from .layers import (
     sincos_pos_embed,
     zero_init,
 )
+
+
+class _DenseParams(nn.Module):
+    """Declares a Dense layer's params (same names/init/shapes as nn.Dense —
+    checkpoint-path compatible) and returns them, so fused Pallas kernels can
+    consume the raw weights (ops/adaln_mlp.py)."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        from .layers import default_init
+
+        k = self.param("kernel", default_init, (self.in_features, self.features))
+        b = self.param("bias", zero_init, (self.features,))
+        return k, b
 
 
 def _ipa_kwargs(cfg: MDGenConfig, dtype):
@@ -88,10 +106,12 @@ class IPALayer(nn.Module):
         )(x, mask=mask, train=self.train)
         x = residual + gate(x, g_l)
 
-        residual = x
-        x = modulate(layer_norm(x), sh_m, sc_m)
-        x = dense(C, name="fc2", dtype=self.dtype)(gelu_erf(dense(4 * C, name="fc1", dtype=self.dtype)(x)))
-        return residual + gate(x, g_m)
+        # fused LN + modulate + MLP + gate + residual (one VMEM pass on TPU;
+        # XLA composition elsewhere — ops/adaln_mlp.py)
+        w1, b1 = _DenseParams(4 * C, C, name="fc1")()
+        w2, b2 = _DenseParams(C, 4 * C, name="fc2")()
+        return adaln_mlp(x, sh_m, sc_m, g_m, w1.astype(self.dtype), b1.astype(self.dtype),
+                         w2.astype(self.dtype), b2.astype(self.dtype))
 
 
 class LatentMDGenLayer(nn.Module):
@@ -162,10 +182,12 @@ class LatentMDGenLayer(nn.Module):
             )(x, mask=mask.transpose(0, 2, 1), train=self.train, tl=(T, L))
         x = residual + gate(x, g_t)
 
-        residual = x
-        x = modulate(layer_norm(x), sh_m, sc_m)
-        x = dense(C, name="fc2", dtype=self.dtype)(gelu_erf(dense(4 * C, name="fc1", dtype=self.dtype)(x)))
-        return residual + gate(x, g_m)
+        # fused LN + modulate + MLP + gate + residual (one VMEM pass on TPU;
+        # XLA composition elsewhere — ops/adaln_mlp.py)
+        w1, b1 = _DenseParams(4 * C, C, name="fc1")()
+        w2, b2 = _DenseParams(C, 4 * C, name="fc2")()
+        return adaln_mlp(x, sh_m, sc_m, g_m, w1.astype(self.dtype), b1.astype(self.dtype),
+                         w2.astype(self.dtype), b2.astype(self.dtype))
 
 
 class LatentMDGen(nn.Module):
