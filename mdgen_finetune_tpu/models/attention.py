@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from ..ops.fused_attention import fused_attention
 from ..ops.residue_attention import residue_attention
 from ..ops.time_attention import time_attention
-from .layers import dense
+from .layers import DenseParams, dense
 from .rope import apply_rope
 
 _NEG_INF = -1e9
@@ -64,9 +64,17 @@ class MultiheadAttention(nn.Module):
         H = self.num_heads
         D = C // H
 
-        q = dense(C, name="q_proj", dtype=self.dtype)(x) * (D**-0.5)
-        k = dense(C, name="k_proj", dtype=self.dtype)(x)
-        v = dense(C, name="v_proj", dtype=self.dtype)(x)
+        # one fused (C -> 3C) projection matmul — params stay split under
+        # q_proj/k_proj/v_proj (checkpoint-compatible); the reference's
+        # head_dim**-0.5 query scaling (mha.py:263) folds into the weights
+        wq, bq = DenseParams(C, C, name="q_proj")()
+        wk, bk2 = DenseParams(C, C, name="k_proj")()
+        wv, bv2 = DenseParams(C, C, name="v_proj")()
+        scale = D**-0.5
+        wqkv = jnp.concatenate([wq * scale, wk, wv], axis=1).astype(self.dtype)
+        bqkv = jnp.concatenate([bq * scale, bk2, bv2]).astype(self.dtype)
+        qkv = x.astype(self.dtype) @ wqkv + bqkv
+        q, k, v = qkv[..., :C], qkv[..., C:2 * C], qkv[..., 2 * C:]
 
         # xavier_normal on a (1, 1, C) tensor => std = sqrt(2 / (1 + C))
         bias_std = (2.0 / (1 + C)) ** 0.5

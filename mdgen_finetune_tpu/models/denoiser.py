@@ -38,6 +38,7 @@ from .attention import MultiheadAttention
 from .hyena import HyenaOperator
 from .ipa import InvariantPointAttention
 from .layers import (
+    DenseParams,
     FinalLayer,
     TimestepEmbedder,
     dense,
@@ -48,23 +49,6 @@ from .layers import (
     sincos_pos_embed,
     zero_init,
 )
-
-
-class _DenseParams(nn.Module):
-    """Declares a Dense layer's params (same names/init/shapes as nn.Dense —
-    checkpoint-path compatible) and returns them, so fused Pallas kernels can
-    consume the raw weights (ops/adaln_mlp.py)."""
-
-    features: int
-    in_features: int
-
-    @nn.compact
-    def __call__(self):
-        from .layers import default_init
-
-        k = self.param("kernel", default_init, (self.in_features, self.features))
-        b = self.param("bias", zero_init, (self.features,))
-        return k, b
 
 
 def _ipa_kwargs(cfg: MDGenConfig, dtype):
@@ -108,8 +92,8 @@ class IPALayer(nn.Module):
 
         # fused LN + modulate + MLP + gate + residual (one VMEM pass on TPU;
         # XLA composition elsewhere — ops/adaln_mlp.py)
-        w1, b1 = _DenseParams(4 * C, C, name="fc1")()
-        w2, b2 = _DenseParams(C, 4 * C, name="fc2")()
+        w1, b1 = DenseParams(4 * C, C, name="fc1")()
+        w2, b2 = DenseParams(C, 4 * C, name="fc2")()
         return adaln_mlp(x, sh_m, sc_m, g_m, w1.astype(self.dtype), b1.astype(self.dtype),
                          w2.astype(self.dtype), b2.astype(self.dtype))
 
@@ -184,8 +168,8 @@ class LatentMDGenLayer(nn.Module):
 
         # fused LN + modulate + MLP + gate + residual (one VMEM pass on TPU;
         # XLA composition elsewhere — ops/adaln_mlp.py)
-        w1, b1 = _DenseParams(4 * C, C, name="fc1")()
-        w2, b2 = _DenseParams(C, 4 * C, name="fc2")()
+        w1, b1 = DenseParams(4 * C, C, name="fc1")()
+        w2, b2 = DenseParams(C, 4 * C, name="fc2")()
         return adaln_mlp(x, sh_m, sc_m, g_m, w1.astype(self.dtype), b1.astype(self.dtype),
                          w2.astype(self.dtype), b2.astype(self.dtype))
 

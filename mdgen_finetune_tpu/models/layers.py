@@ -103,3 +103,18 @@ def sincos_pos_embed(embed_dim: int, length: int) -> np.ndarray:
     omega = 1.0 / 10000**omega
     out = np.einsum("m,d->md", np.arange(length, dtype=np.float64), omega)
     return np.concatenate([np.sin(out), np.cos(out)], axis=1).astype(np.float32)
+
+
+class DenseParams(nn.Module):
+    """Declares a Dense layer's params (same names/init/shapes as nn.Dense —
+    checkpoint-path compatible) and returns them raw, for call sites that
+    fuse several projections into one matmul or feed Pallas kernels."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", default_init, (self.in_features, self.features))
+        b = self.param("bias", zero_init, (self.features,))
+        return k, b
