@@ -107,15 +107,17 @@ def _kernel(q_ref, k_ref, v_ref, bk_ref, bv_ref, bias_ref, cos_ref, sin_ref, fh_
     bk_blk = rope(jnp.broadcast_to(bk_ref[...], (8, C)), Tp, 8)
     bv_blk = jnp.broadcast_to(bv_ref[...], (8, C))
 
-    for r in range(L):
-        q_r = rope(q_ref[0, :, r * C:(r + 1) * C], 0, Tp)  # (Tp, C)
-        k_r = rope(k_ref[0, :, r * C:(r + 1) * C], 0, Tp)
+    BB = q_ref.shape[0]  # batch elements per program
+    for bb in range(BB):
+      for r in range(L):
+        q_r = rope(q_ref[bb, :, r * C:(r + 1) * C], 0, Tp)  # (Tp, C)
+        k_r = rope(k_ref[bb, :, r * C:(r + 1) * C], 0, Tp)
         kb_r = jnp.concatenate([k_r, bk_blk.astype(k_r.dtype)], axis=0)  # (TK, C)
         # one hoisted transpose per residue puts K on the sublane dim for the
         # logits matmuls (otherwise Mosaic re-transposes kb per head group)
         kbT_r = kb_r.T  # (C, TK)
-        vb_r = jnp.concatenate([v_ref[0, :, r * C:(r + 1) * C], bv_blk.astype(v_ref.dtype)], axis=0)
-        bias = bias_ref[0, r:r + 1, :]  # (1, TK): -1e9 on masked/pad keys
+        vb_r = jnp.concatenate([v_ref[bb, :, r * C:(r + 1) * C], bv_blk.astype(v_ref.dtype)], axis=0)
+        bias = bias_ref[bb, r:r + 1, :]  # (1, TK): -1e9 on masked/pad keys
 
         outs = []
         h0 = 0
@@ -144,7 +146,7 @@ def _kernel(q_ref, k_ref, v_ref, bk_ref, bv_ref, bias_ref, cos_ref, sin_ref, fh_
             out_g = jnp.sum(pv.reshape(gh, Tp, W) * masks.astype(jnp.float32), axis=0)
             outs.append(out_g)  # (Tp, W) f32
             h0 += gh
-        o_ref[0, :, r * C:(r + 1) * C] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+        o_ref[bb, :, r * C:(r + 1) * C] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
@@ -179,21 +181,24 @@ def _pallas_fwd(q, k, v, bias_k, bias_v, key_valid, num_heads: int, interpret: b
     bk = bias_k.reshape(1, C).astype(q.dtype)
     bv = bias_v.reshape(1, C).astype(q.dtype)
 
+    # one batch element per program measured fastest (multi-b blocks reduce
+    # the grid's DMA/compute overlap: 5173 vs 5017/4907 at BB=2/4, PERF.md r2)
+    BB = 1
     out = pl.pallas_call(
         functools.partial(_kernel, num_heads=num_heads, head_dim=D, channels=C),
-        grid=(B,),
+        grid=(B // BB,),
         in_specs=[
-            pl.BlockSpec((1, Tp, L * C), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, Tp, L * C), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, Tp, L * C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((BB, Tp, L * C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((BB, Tp, L * C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((BB, Tp, L * C), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, C), lambda b: (0, 0)),
             pl.BlockSpec((1, C), lambda b: (0, 0)),
-            pl.BlockSpec((1, L, TK), lambda b: (b, 0, 0)),
+            pl.BlockSpec((BB, L, TK), lambda b: (b, 0, 0)),
             pl.BlockSpec((TK, C), lambda b: (0, 0)),
             pl.BlockSpec((TK, C), lambda b: (0, 0)),
             pl.BlockSpec((1, C), lambda b: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, Tp, L * C), lambda b: (b, 0, 0)),
+        out_specs=pl.BlockSpec((BB, Tp, L * C), lambda b: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, Tp, L * C), q.dtype),
         interpret=interpret,
     )(q, k, v, bk, bv, bias, cos, sin, fh)
