@@ -72,6 +72,41 @@ def _group_masks(head_dim: int, group_heads: int, dtype):
     return ((lane >= j * head_dim) & (lane < (j + 1) * head_dim)).astype(dtype)
 
 
+def _grouped_attend(q_r, kbT_r, vb_r, bias, H, D):
+    """Grouped-stack attention core: q_r (R, C), kbT_r (C, TK), vb_r (TK, C),
+    bias (1, TK) additive; heads processed Gh = 128 // D per lane-tile group,
+    every matmul a single-K-tile MXU op. Returns (R, C) f32."""
+    R, C = q_r.shape
+    Gh = max(1, 128 // D)
+    outs = []
+    h0 = 0
+    while h0 < H:
+        gh = min(Gh, H - h0)
+        W = gh * D
+        lo = h0 * D
+        q_rg = q_r[:, lo:lo + W]  # (R, W)
+        kbT_rg = kbT_r[lo:lo + W]  # (W, TK) sublane slice, W multiple of 8
+        vb_rg = vb_r[:, lo:lo + W]
+        masks = _group_masks(D, gh, q_rg.dtype)  # (gh, 1, W)
+        # stacked rows: block j is q_rg with every lane outside head j zeroed,
+        # so ONE (gh*R, W) @ (W, TK) matmul yields every head's logits
+        qs = (q_rg[None] * masks).reshape(gh * R, W)
+        logits = jax.lax.dot_general(
+            qs, kbT_rg, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (gh*R, TK)
+        logits = logits + bias
+        m = jnp.max(logits, axis=1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(vb_rg.dtype), vb_rg, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (gh*R, W)
+        outs.append(jnp.sum(pv.reshape(gh, R, W) * masks.astype(jnp.float32), axis=0))
+        h0 += gh
+    return jnp.concatenate(outs, axis=1)  # (R, C) f32
+
+
 def _kernel(q_ref, k_ref, v_ref, bk_ref, bv_ref, bias_ref, cos_ref, sin_ref, fh_ref,
             o_ref, *, num_heads: int, head_dim: int, channels: int):
     """Everything here is 8-sublane/128-lane aligned by construction: T is
@@ -119,34 +154,9 @@ def _kernel(q_ref, k_ref, v_ref, bk_ref, bv_ref, bias_ref, cos_ref, sin_ref, fh_
         vb_r = jnp.concatenate([v_ref[bb, :, r * C:(r + 1) * C], bv_blk.astype(v_ref.dtype)], axis=0)
         bias = bias_ref[bb, r:r + 1, :]  # (1, TK): -1e9 on masked/pad keys
 
-        outs = []
-        h0 = 0
-        while h0 < H:
-            gh = min(Gh, H - h0)
-            W = gh * D
-            lo = h0 * D
-            q_rg = q_r[:, lo:lo + W]  # (Tp, W)
-            kbT_rg = kbT_r[lo:lo + W]  # (W, TK) sublane slice, W multiple of 8
-            vb_rg = vb_r[:, lo:lo + W]
-            masks = _group_masks(D, gh, q_rg.dtype)  # (gh, 1, W)
-            # stacked rows: block j is q_rg with every lane outside head j zeroed,
-            # so ONE (gh*Tp, W) @ (W, TK) matmul yields every head's logits
-            qs = (q_rg[None] * masks).reshape(gh * Tp, W)
-            logits = jax.lax.dot_general(
-                qs, kbT_rg, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-            )  # (gh*Tp, TK)
-            logits = logits + bias
-            m = jnp.max(logits, axis=1, keepdims=True)
-            p = jnp.exp(logits - m)
-            p = p / jnp.sum(p, axis=1, keepdims=True)
-            pv = jax.lax.dot_general(
-                p.astype(vb_rg.dtype), vb_rg, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (gh*Tp, W)
-            out_g = jnp.sum(pv.reshape(gh, Tp, W) * masks.astype(jnp.float32), axis=0)
-            outs.append(out_g)  # (Tp, W) f32
-            h0 += gh
-        o_ref[bb, :, r * C:(r + 1) * C] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+        o_ref[bb, :, r * C:(r + 1) * C] = _grouped_attend(
+            q_r, kbT_r, vb_r, bias, H, D
+        ).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
@@ -205,6 +215,113 @@ def _pallas_fwd(q, k, v, bias_k, bias_v, key_valid, num_heads: int, interpret: b
     return out[:, :T].reshape(B, T, L, C)
 
 
+
+
+def _kernel_blocked(q_ref, kb_ref, vb_ref, bias_ref, cos_ref, sin_ref, fh_ref, o_ref,
+                    *, head_dim: int, num_heads: int):
+    """Blocked grouped-stack variant for long T / large L: grid (B, L, n_q),
+    one (residue, query-block) per program with the FULL roped K/V slice in
+    VMEM (no online softmax needed). kb/vb arrive with the 8-row bias-token
+    block already appended (one attendable copy, rest masked)."""
+    D, H = head_dim, num_heads
+    tq, C = q_ref.shape[1:]
+    TK = kb_ref.shape[1]
+    half = D // 2
+    i = pl.program_id(2)
+
+    fh = fh_ref[...]
+
+    def rotate_half(x32):
+        take_right = pltpu.roll(x32, C - half, 1)
+        take_left = pltpu.roll(x32, half, 1)
+        return -take_right * fh + take_left * (1 - fh)
+
+    def rope(x, n0, n):
+        cos = cos_ref[pl.ds(n0, n)].astype(jnp.float32)
+        sin = sin_ref[pl.ds(n0, n)].astype(jnp.float32)
+        x32 = x.astype(jnp.float32)
+        return (x32 * cos + rotate_half(x32) * sin).astype(x.dtype)
+
+    q_blk = rope(q_ref[0], pl.multiple_of(i * tq, 8), tq)  # (tq, C)
+    kb = rope(kb_ref[0], 0, TK)  # (TK, C); bias rows hit position-T table rows
+    kbT = kb.T  # (C, TK)
+    vb = vb_ref[0]
+    bias = bias_ref[0]  # (1, TK)
+    o_ref[0] = _grouped_attend(q_blk, kbT, vb, bias, H, D).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def _pallas_fwd_blocked(q, k, v, bias_k, bias_v, key_valid, num_heads: int,
+                        interpret: bool = False):
+    B, T, L, C = q.shape
+    D = C // num_heads
+    Tp = -(-T // 8) * 8
+    TK = Tp + 8
+
+    q, k, v = (a.reshape(B, T, L * C) for a in (q, k, v))
+    if Tp != T:
+        zpad = ((0, 0), (0, Tp - T), (0, 0))
+        q, k, v = jnp.pad(q, zpad), jnp.pad(k, zpad), jnp.pad(v, zpad)
+    # append the 8-row bias-token block (tiled across residues) outside
+    bkt = jnp.broadcast_to(jnp.tile(bias_k.reshape(1, C), (1, L)).astype(q.dtype), (B, 8, L * C))
+    bvt = jnp.broadcast_to(jnp.tile(bias_v.reshape(1, C), (1, L)).astype(q.dtype), (B, 8, L * C))
+    kb = jnp.concatenate([k, bkt], axis=1)  # (B, TK, L*C)
+    vb = jnp.concatenate([v, bvt], axis=1)
+
+    bias = (key_valid.astype(jnp.float32) - 1.0) * -_NEG_INF  # (B, L, T)
+    tail = jnp.full((B, L, TK - T), _NEG_INF, jnp.float32)
+    tail = tail.at[:, :, Tp - T].set(0.0)
+    bias = jnp.concatenate([bias, tail], axis=2).reshape(B * L, 1, TK)
+
+    cos_np, sin_np, fh_np = _rope_tables_np(T + 1, D, C)
+
+    def table(base):
+        ext_q = base[list(range(T)) + [T - 1] * (Tp - T)] if Tp != T else base[:T]
+        return np.concatenate([ext_q, np.tile(base[T:T + 1], (8, 1))], axis=0)
+
+    cos = jnp.asarray(table(cos_np), jnp.float32)
+    sin = jnp.asarray(table(sin_np), jnp.float32)
+    fh = jnp.asarray(fh_np, jnp.float32).reshape(1, C)
+
+    tq = _blocked_tq(Tp, TK, C)
+    n_q = Tp // tq
+    out = pl.pallas_call(
+        functools.partial(_kernel_blocked, head_dim=D, num_heads=num_heads),
+        grid=(B, L, n_q),
+        in_specs=[
+            pl.BlockSpec((1, tq, C), lambda b, r, i: (b, i, r)),
+            pl.BlockSpec((1, TK, C), lambda b, r, i: (b, 0, r)),
+            pl.BlockSpec((1, TK, C), lambda b, r, i: (b, 0, r)),
+            pl.BlockSpec((1, 1, TK), lambda b, r, i, L=L: (b * L + r, 0, 0)),
+            pl.BlockSpec((TK, C), lambda b, r, i: (0, 0)),
+            pl.BlockSpec((TK, C), lambda b, r, i: (0, 0)),
+            pl.BlockSpec((1, C), lambda b, r, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tq, C), lambda b, r, i: (b, i, r)),
+        out_shape=jax.ShapeDtypeStruct((B, Tp, L * C), q.dtype),
+        interpret=interpret,
+    )(q, kb, vb, bias, cos, sin, fh)
+    return out[:, :T].reshape(B, T, L, C)
+
+
+def _blocked_tq(Tp: int, TK: int, C: int, budget: int = 9 * 1024 * 1024):
+    """Query block: multiple of 8 dividing Tp, sized so K/V + f32 logits fit."""
+    for tq in (256, 128, 64, 32, 16, 8):
+        if Tp % tq:
+            continue
+        Gh = 5  # worst-case heads per group at D=24; close enough for sizing
+        est = (2 * 2 * TK * C * 2) + (2 * tq * C * 2) + 2 * (Gh * tq) * TK * 4 + tq * C * 4
+        if est <= budget:
+            return tq
+    return 8
+
+
+def _blocked_fits(T: int, C: int) -> bool:
+    TK = -(-T // 8) * 8 + 8
+    # the full K/V slice (x2 arrays, x2 buffers) must leave room for logits
+    return 2 * 2 * TK * C * 2 + 2 * (5 * 8) * TK * 4 <= 10 * 1024 * 1024
+
+
 # ---------------------------------------------------------------------------
 def _xla_impl(q, k, v, bias_k, bias_v, key_valid, num_heads: int):
     """Reference composition: transpose to (B*L, T, ...), bias append, rope,
@@ -255,6 +372,19 @@ def _ta_bwd(num_heads, res, g):
 _time_attention_pallas.defvjp(_ta_fwd, _ta_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _time_attention_pallas_blocked(q, k, v, bias_k, bias_v, key_valid, num_heads):
+    return _pallas_fwd_blocked(q, k, v, bias_k, bias_v, key_valid, num_heads)
+
+
+def _tab_fwd(q, k, v, bias_k, bias_v, key_valid, num_heads):
+    return (_pallas_fwd_blocked(q, k, v, bias_k, bias_v, key_valid, num_heads),
+            (q, k, v, bias_k, bias_v, key_valid))
+
+
+_time_attention_pallas_blocked.defvjp(_tab_fwd, _ta_bwd)
+
+
 def time_attention(q, k, v, bias_k, bias_v, key_valid=None, *, num_heads: int,
                    force_xla: bool = False, force_pallas: bool = False):
     """Frame attention in (B, T, L, C) layout: attends over T, batch (B, L).
@@ -271,10 +401,14 @@ def time_attention(q, k, v, bias_k, bias_v, key_valid=None, *, num_heads: int,
     env = os.environ.get("MDGEN_TIME_ATTENTION", "")  # "xla" | "pallas" A/B override
     force_xla = force_xla or env == "xla"
     force_pallas = force_pallas or env == "pallas"
-    use_pallas = force_pallas or (
-        not force_xla and jax.default_backend() == "tpu"
-        and L <= MAX_L and T <= MAX_T and C % 128 == 0
-    )
-    if use_pallas:
+    on_tpu = jax.default_backend() == "tpu" and C % 128 == 0
+    if force_pallas or (not force_xla and on_tpu and L <= MAX_L and T <= MAX_T):
         return _time_attention_pallas(q, k, v, bias_k, bias_v, key_valid, num_heads)
+    if (env == "blocked" or (not force_xla and on_tpu and L > MAX_L and T <= MAX_T)) \
+            and _blocked_fits(T, C):
+        # blocked variant (full roped K/V per (b, residue) in VMEM, grid
+        # (B, L, T/tq)): wins at large L (ATLAS fwd 89.8 vs 100.6 ms) but
+        # loses to the flash path at long T (T=1000: 49 vs 25 ms — per-
+        # program K/V re-rope dominates when n_q is large), hence the gates
+        return _time_attention_pallas_blocked(q, k, v, bias_k, bias_v, key_valid, num_heads)
     return _xla_impl(q, k, v, bias_k, bias_v, key_valid, num_heads)

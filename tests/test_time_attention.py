@@ -61,3 +61,13 @@ def test_mha_4d_path_matches_3d_path():
     old = old.reshape(B, L, T, C).transpose(0, 2, 1, 3)
     new = mha.apply(params, x, mask=mask.transpose(0, 2, 1))
     np.testing.assert_allclose(np.asarray(new), np.asarray(old), atol=1e-5, rtol=1e-5)
+
+
+def test_blocked_kernel_matches_xla_reference():
+    from mdgen_finetune_tpu.ops.time_attention import _pallas_fwd_blocked
+
+    for T, L, masked in [(24, 3, False), (24, 3, True), (40, 6, False)]:
+        q, k, v, bk, bv, mask = _inputs(T=T, L=L, masked=masked)
+        ref = _xla_impl(q, k, v, bk, bv, mask, 4)
+        got = _pallas_fwd_blocked(q, k, v, bk, bv, mask, 4, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4), (T, L, masked)
