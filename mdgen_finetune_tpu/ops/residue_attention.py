@@ -36,6 +36,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .time_attention import _blocked_fits, _time_attention_pallas_blocked
 from .time_attention import _xla_impl as _time_xla_impl
 
 MAX_L = 8  # pair count L*(L+1) and per-pair buffers grow quadratically
@@ -243,8 +244,9 @@ def residue_attention(q, k, v, bias_k, bias_v, key_valid=None, *, num_heads: int
     env = os.environ.get("MDGEN_RESIDUE_ATTENTION", "")  # "xla" | "pallas" A/B override
     force_xla = force_xla or env == "xla"
     force_pallas = force_pallas or env == "pallas"
+    on_tpu = jax.default_backend() == "tpu"
     use_pallas = force_pallas or (
-        not force_xla and jax.default_backend() == "tpu" and L <= MAX_L
+        not force_xla and on_tpu and L <= MAX_L
         # very large fused graphs around the kernel crash the backend
         # compiler at B*T >~ 12k rows (observed at B=128, T=100, r2);
         # fall back to XLA there
@@ -252,4 +254,16 @@ def residue_attention(q, k, v, bias_k, bias_v, key_valid=None, *, num_heads: int
     )
     if use_pallas:
         return _residue_attention_pallas(q, k, v, bias_k, bias_v, key_valid, num_heads)
+    if not force_xla and on_tpu and C % 128 == 0 and _blocked_fits(L, C):
+        # large L (ATLAS crop-256): residue attention is time attention with
+        # the axes swapped (attend over L, batch (B, T)); the blocked
+        # grouped-stack kernel avoids the XLA path's (B*T, H, L, L) f32
+        # logits in HBM. key_valid (B, T, L) is already in the time kernel's
+        # (B, batch, attend) convention, and its XLA-composition backward is
+        # exactly this stage's backward under the same swap.
+        swap = lambda x: x.transpose(0, 2, 1, 3)
+        out = _time_attention_pallas_blocked(
+            swap(q), swap(k), swap(v), bias_k, bias_v, key_valid, num_heads
+        )
+        return swap(out)
     return _xla_impl(q, k, v, bias_k, bias_v, key_valid, num_heads)
