@@ -194,6 +194,8 @@ def fused_attention(q, k, v, key_valid=None, *, force_xla: bool = False, force_p
     M = k.shape[2]
     use_pallas = force_pallas or (
         not force_xla and jax.default_backend() == "tpu" and PALLAS_MIN_KV <= M <= MAX_KV
+        # single-chip only: no SPMD partitioning rule for pallas_call
+        and jax.device_count() == 1
     )
     if key_valid is None:
         key_valid = jnp.ones((B, M), jnp.float32)

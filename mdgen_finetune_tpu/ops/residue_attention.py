@@ -244,7 +244,8 @@ def residue_attention(q, k, v, bias_k, bias_v, key_valid=None, *, num_heads: int
     env = os.environ.get("MDGEN_RESIDUE_ATTENTION", "")  # "xla" | "pallas" A/B override
     force_xla = force_xla or env == "xla"
     force_pallas = force_pallas or env == "pallas"
-    on_tpu = jax.default_backend() == "tpu"
+    # single-chip only (see time_attention: no SPMD rule for pallas_call)
+    on_tpu = jax.default_backend() == "tpu" and jax.device_count() == 1
     use_pallas = force_pallas or (
         not force_xla and on_tpu and L <= MAX_L
         # very large fused graphs around the kernel crash the backend

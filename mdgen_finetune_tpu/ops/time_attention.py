@@ -401,7 +401,9 @@ def time_attention(q, k, v, bias_k, bias_v, key_valid=None, *, num_heads: int,
     env = os.environ.get("MDGEN_TIME_ATTENTION", "")  # "xla" | "pallas" A/B override
     force_xla = force_xla or env == "xla"
     force_pallas = force_pallas or env == "pallas"
-    on_tpu = jax.default_backend() == "tpu" and C % 128 == 0
+    # single-chip only: under a multi-device mesh the pallas_call has no SPMD
+    # partitioning rule, so the partitionable XLA composition is the safe path
+    on_tpu = jax.default_backend() == "tpu" and C % 128 == 0 and jax.device_count() == 1
     if force_pallas or (not force_xla and on_tpu and L <= MAX_L and T <= MAX_T):
         return _time_attention_pallas(q, k, v, bias_k, bias_v, key_valid, num_heads)
     if (env == "blocked" or (not force_xla and on_tpu and L > MAX_L and T <= MAX_T)) \
