@@ -45,6 +45,15 @@ def main(argv=None):
     p.add_argument("--lora_rank", type=int, default=32)
     p.add_argument("--replay_buffer", action="store_true")
     p.add_argument("--rb_size", type=int, default=1000)
+    p.add_argument("--rb_sample_strategy", type=str, default="uniform", choices=["uniform", "reward"])
+    p.add_argument("--back_and_forth", action="store_true",
+                   help="train on back-and-forth trajectories (src/rtb_utils/args.py:76)")
+    p.add_argument("--bf_freq", type=int, default=4)
+    p.add_argument("--bf_noise_level", type=float, default=0.5)
+    p.add_argument("--langevin", action="store_true",
+                   help="reward-gradient policy correction (samplers.py:120-171); uses the differentiable surrogate")
+    p.add_argument("--prior_sampling", action="store_true")
+    p.add_argument("--prior_sampling_ratio", type=float, default=0.1)
     p.add_argument("--reward", type=str, default="auto", choices=["auto", "amber14", "surrogate"])
     p.add_argument("--reward_temperature", type=float, default=1.0)
     p.add_argument("--exp_name", type=str, default="rtb")
@@ -62,6 +71,10 @@ def main(argv=None):
         num_train_timesteps=a.traj_length, xT_type=a.xT_type, vargrad=a.vargrad,
         learning_cutoff=a.learning_cutoff, detach_freq=a.detach_freq,
         lora_rank=a.lora_rank, replay_buffer=a.replay_buffer, rb_size=a.rb_size,
+        rb_strategy=a.rb_sample_strategy, back_and_forth=a.back_and_forth,
+        bf_freq=a.bf_freq, bf_noise_level=a.bf_noise_level,
+        langevin=a.langevin, prior_sampling=a.prior_sampling,
+        prior_sampling_ratio=a.prior_sampling_ratio,
         seed=a.seed, reward_temperature=a.reward_temperature,
     )
     workdir = os.path.join(a.workdir, a.exp_name)
@@ -92,7 +105,8 @@ def main(argv=None):
                         path = os.path.join(td, f"sample_{i}.pdb")
                         atom14_to_pdb(np.asarray(a14[i]), np.asarray(aat), path)
                         paths.append(path)
-                    return reward_obj(paths)
+                    _, logrs = reward_obj(paths=paths, tmp_dir=td)
+                    return logrs
 
     trainer = RTBTrainer(cfg, rtb, sim, reward_fn, workdir=workdir, reward_on_device=reward_on_device)
     ckpt_path = os.path.join(workdir, "checkpoint.pkl")

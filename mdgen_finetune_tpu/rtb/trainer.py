@@ -69,6 +69,18 @@ class RTBConfig:
     reward_temperature: float = 1.0
 
 
+def _latent_manifold_log_reward(x):
+    """Default differentiable Langevin proxy over MDGen latents
+    (B, T, L, 21[+20]): log-reward is highest when the quaternion block is
+    unit-norm and each torsion (cos, sin) pair is unit-norm — i.e. the
+    latents decode to valid geometry."""
+    quat = x[..., :4]
+    q_pen = (jnp.sum(quat * quat, axis=-1) - 1.0) ** 2  # (B, T, L)
+    tor = x[..., 7:21].reshape(*x.shape[:-1], 7, 2)
+    t_pen = jnp.sum((jnp.sum(tor * tor, axis=-1) - 1.0) ** 2, axis=-1)
+    return -jnp.sum(q_pen + t_pen, axis=tuple(range(1, q_pen.ndim)))
+
+
 class RTBTrainer:
     def __init__(
         self,
@@ -124,7 +136,12 @@ class RTBTrainer:
         langevin_fn = None
         if rtb.langevin:
             if lgv_log_reward_fn is None:
-                raise ValueError("rtb.langevin=True requires lgv_log_reward_fn")
+                # default differentiable proxy: keep latents on the data
+                # manifold (unit quaternion block, unit sin/cos torsion
+                # pairs) — the role the reference's trained lgv classifier
+                # plays (src/models/samplers.py:120-171) when no
+                # reward-aligned differentiable function is supplied
+                lgv_log_reward_fn = _latent_manifold_log_reward
 
             def langevin_fn(x, t):
                 g = jax.grad(lambda y: jnp.sum(lgv_log_reward_fn(y)))(x)

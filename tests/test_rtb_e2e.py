@@ -175,9 +175,11 @@ def test_langevin_trainer_path(setup, tmp_path):
                     workdir=str(tmp_path), lgv_log_reward_fn=proxy)
     m = tr.step(0, jax.random.key(0))
     assert np.isfinite(m["loss"]) and np.isfinite(m["logr"])
-    # severing check: without the fn the flag must be rejected
-    with pytest.raises(ValueError):
-        RTBTrainer(cfg, rtb, sim, lambda a14, aat: reward(a14, aat), workdir=str(tmp_path))
+    # without an explicit fn the default latent-manifold proxy engages
+    tr2 = RTBTrainer(cfg, rtb, sim, lambda a14, aat: reward(a14, aat), workdir=str(tmp_path))
+    assert tr2.sampler.langevin_fn is not None
+    m2 = tr2.step(0, jax.random.key(1))
+    assert np.isfinite(m2["loss"])
 
 
 def test_prior_sampling_smoke(setup, tmp_path):
@@ -232,3 +234,32 @@ def test_unet_policy_distill_and_rtb_step(setup, tmp_path):
         for k, a in tr.lora.items()
     )
     assert moved
+
+
+def test_train_posterior_cli_smoke(setup, tmp_path):
+    """The train_posterior CLI end-to-end with the new r2 flags (replay
+    buffer + strategy, langevin via the surrogate, prior sampling): flag
+    parsing -> RTBConfig plumbing -> a short surrogate-reward run."""
+    from mdgen_finetune_tpu.cli import train_posterior
+
+    cfg = setup["cfg"]
+    trainer = Trainer(cfg, dtype=jnp.float32)
+    ds = MDGenDataset(cfg, setup["split"])
+    it = make_batch_iterator(ds, 2, seed=0)
+    state = trainer.init_state(jax.random.key(0), next(it))
+    ckpt = trainer.save_checkpoint(state, str(tmp_path / "ckpt_0"))
+
+    train_posterior.main([
+        "--sim_ckpt", ckpt, "--data_dir", setup["dir"], "--split", setup["split"],
+        "--reward", "surrogate", "--batch_size", "2", "--sampling_length", "3",
+        "--traj_length", "30", "--lora_rank", "4", "--n_iterations", "2",
+        "--replay_buffer", "--rb_sample_strategy", "reward",
+        "--langevin", "--prior_sampling", "--prior_sampling_ratio", "0.5",
+        "--workdir", str(tmp_path / "w"), "--exp_name", "smoke", "--print_freq", "1",
+    ])
+    log = (tmp_path / "w" / "smoke" / "log.jsonl").read_text().strip().splitlines()
+    assert len(log) >= 1
+    import json as _json
+
+    m = _json.loads(log[-1])
+    assert np.isfinite(m["loss"]) and np.isfinite(m["logr"])
