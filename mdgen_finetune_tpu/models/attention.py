@@ -142,3 +142,25 @@ class MultiheadAttention(nn.Module):
             out = fused_attention(q, k, v, key_valid)
 
         return out.transpose(0, 2, 1, 3).reshape(B, N, C)
+
+
+class MHAParams(nn.Module):
+    """Declares exactly MultiheadAttention's parameter tree (q/k/v/out_proj
+    Dense params + learned bias_k/bias_v token) and returns the raw values,
+    for fused block kernels that consume the weights directly
+    (ops/time_attention.time_attention_block). Interchangeable with a
+    MultiheadAttention module of the same name in the checkpoint."""
+
+    embed_dim: int
+
+    @nn.compact
+    def __call__(self):
+        C = self.embed_dim
+        wq, bq = DenseParams(C, C, name="q_proj")()
+        wk, bk = DenseParams(C, C, name="k_proj")()
+        wv, bv = DenseParams(C, C, name="v_proj")()
+        wo, bo = DenseParams(C, C, name="out_proj")()
+        bias_std = (2.0 / (1 + C)) ** 0.5
+        bias_k = self.param("bias_k", nn.initializers.normal(bias_std), (1, 1, C))
+        bias_v = self.param("bias_v", nn.initializers.normal(bias_std), (1, 1, C))
+        return (wq, bq, wk, bk, wv, bv, wo, bo, bias_k, bias_v)

@@ -32,9 +32,10 @@ import jax.numpy as jnp
 from ..config import MDGenConfig
 from ..geometry.rigid import Rigid
 from ..ops.adaln_mlp import adaln_mlp
+from ..ops.fused_layer import fused_layer
 from ..transport.dirichlet import DirichletConditionalFlow, simplex_proj
 from ..transport.transport import t_to_alpha
-from .attention import MultiheadAttention
+from .attention import MHAParams, MultiheadAttention
 from .hyena import HyenaOperator
 from .ipa import InvariantPointAttention
 from .layers import (
@@ -126,6 +127,31 @@ class LatentMDGenLayer(nn.Module):
                 **_ipa_kwargs(self.cfg, self.dtype), dropout=m.dropout, name="ipa"
             )(ipa_in, Rigid(frames.rot[:, None], frames.trans[:, None]), frame_mask=mask, train=self.train)
             x = x4.reshape(B, T * L, C)
+
+        if not (m.hyena or m.no_rope or (m.dropout > 0.0 and self.train)):
+            # the WHOLE layer (residue attn -> frame attn -> MLP, each with
+            # AdaLN modulate/gate) as one fused op: single Pallas kernel per
+            # batch element on TPU, XLA composition of the same math
+            # elsewhere (ops/fused_layer.py). Param trees stay identical to
+            # the modular path (MHAParams/DenseParams mirror the modules).
+            (wql, bql, wkl, bkl_, wvl, bvl_, wol, bol, bias_kl, bias_vl) = MHAParams(C, name="mha_l")()
+            (wqt, bqt, wkt, bkt_, wvt, bvt_, wot, bot, bias_kt, bias_vt) = MHAParams(C, name="mha_t")()
+            w1, b1 = DenseParams(4 * C, C, name="fc1")()
+            w2, b2 = DenseParams(C, 4 * C, name="fc2")()
+            scale = (C // m.mha_heads) ** -0.5
+            dt = self.dtype
+            wqkv_l = jnp.concatenate([wql * scale, wkl, wvl], axis=1).astype(dt)
+            bqkv_l = jnp.concatenate([bql * scale, bkl_, bvl_]).astype(dt)
+            wqkv_t = jnp.concatenate([wqt * scale, wkt, wvt], axis=1).astype(dt)
+            bqkv_t = jnp.concatenate([bqt * scale, bkt_, bvt_]).astype(dt)
+            return fused_layer(
+                x, mod, wqkv_l, bqkv_l, wol.astype(dt), bol.astype(dt),
+                wqkv_t, bqkv_t, wot.astype(dt), bot.astype(dt),
+                w1.astype(dt), b1.astype(dt), w2.astype(dt), b2.astype(dt),
+                bias_kl.astype(dt), bias_vl.astype(dt),
+                bias_kt.astype(dt), bias_vt.astype(dt), mask,
+                num_heads=m.mha_heads, tl=(T, L),
+            )
 
         # attention over residues, frames as batch
         residual = x

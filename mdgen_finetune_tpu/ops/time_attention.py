@@ -414,3 +414,195 @@ def time_attention(q, k, v, bias_k, bias_v, key_valid=None, *, num_heads: int,
         # program K/V re-rope dominates when n_q is large), hence the gates
         return _time_attention_pallas_blocked(q, k, v, bias_k, bias_v, key_valid, num_heads)
     return _xla_impl(q, k, v, bias_k, bias_v, key_valid, num_heads)
+
+
+# ---------------------------------------------------------------------------
+# Fused frame-attention BLOCK: LN + modulate + qkv-projection + attention +
+# out-projection + gate + residual in one VMEM pass per batch element.
+# ---------------------------------------------------------------------------
+
+_LN_EPS = 1e-6
+
+
+def _block_kernel(x_ref, sh_ref, sc_ref, g_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+                  bk_ref, bv_ref, bias_ref, cos_ref, sin_ref, fh_ref, o_ref,
+                  *, num_heads: int, head_dim: int, channels: int):
+    """Per program (one batch element): for each residue slice x_r of the
+    (Tp, L*C) activation — LayerNorm (f32 lane stats), AdaLN modulate, one
+    (C -> 3C) qkv matmul with the weights resident in VMEM, in-kernel RoPE,
+    grouped-stack attention (_grouped_attend), out-projection, gate +
+    residual — reading and writing the activation exactly once."""
+    C, H, D = channels, num_heads, head_dim
+    Tp = x_ref.shape[1]
+    LC = x_ref.shape[2]
+    L = LC // C
+    half = D // 2
+
+    fh = fh_ref[...]  # (1, C)
+    sh = sh_ref[0].astype(jnp.float32)  # (1, C)
+    sc = sc_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    wqkv = wqkv_ref[...]
+    bqkv = bqkv_ref[...].astype(jnp.float32)
+    wout = wout_ref[...]
+    bout = bout_ref[...].astype(jnp.float32)
+
+    def rotate_half(x32):
+        take_right = pltpu.roll(x32, C - half, 1)
+        take_left = pltpu.roll(x32, half, 1)
+        return -take_right * fh + take_left * (1 - fh)
+
+    def rope(x, n0, n):
+        cos = cos_ref[pl.ds(n0, n)].astype(jnp.float32)
+        sin = sin_ref[pl.ds(n0, n)].astype(jnp.float32)
+        x32 = x.astype(jnp.float32)
+        return (x32 * cos + rotate_half(x32) * sin).astype(x.dtype)
+
+    bk_blk = rope(jnp.broadcast_to(bk_ref[...], (8, C)), Tp, 8)
+    bv_blk = jnp.broadcast_to(bv_ref[...], (8, C))
+
+    x = x_ref[0]  # (Tp, LC)
+    for r in range(L):
+        xr = x[:, r * C:(r + 1) * C]  # (Tp, C)
+        x32 = xr.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=1, keepdims=True)
+        var = jnp.mean(x32 * x32, axis=1, keepdims=True) - mean * mean
+        h = (x32 - mean) * jax.lax.rsqrt(var + _LN_EPS)
+        h = (h * (1.0 + sc) + sh).astype(xr.dtype)
+        qkv = jax.lax.dot_general(
+            h, wqkv, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) + bqkv  # (Tp, 3C) f32
+        qkv = qkv.astype(xr.dtype)
+        q_r = rope(qkv[:, :C], 0, Tp)
+        k_r = rope(qkv[:, C:2 * C], 0, Tp)
+        v_r = qkv[:, 2 * C:]
+        kb_r = jnp.concatenate([k_r, bk_blk.astype(k_r.dtype)], axis=0)
+        vb_r = jnp.concatenate([v_r, bv_blk.astype(v_r.dtype)], axis=0)
+        bias = bias_ref[0, r:r + 1, :]  # (1, TK)
+        att = _grouped_attend(q_r, kb_r.T, vb_r, bias, H, D)  # (Tp, C) f32
+        y = jax.lax.dot_general(
+            att.astype(xr.dtype), wout, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bout  # (Tp, C) f32
+        o_ref[0, :, r * C:(r + 1) * C] = (x32 + g * y).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "T", "L", "interpret"))
+def _block_pallas_fwd(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v, key_valid,
+                      num_heads: int, T: int, L: int, interpret: bool = False):
+    B, N, C = x.shape
+    D = C // num_heads
+    Tp = -(-T // 8) * 8
+    TK = Tp + 8
+
+    x = x.reshape(B, T, L * C)
+    if Tp != T:
+        x = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
+    bias = (key_valid.astype(jnp.float32) - 1.0) * -_NEG_INF  # (B, L, T)
+    tail = jnp.full((B, L, TK - T), _NEG_INF, jnp.float32)
+    tail = tail.at[:, :, Tp - T].set(0.0)
+    bias = jnp.concatenate([bias, tail], axis=2)
+
+    cos_np, sin_np, fh_np = _rope_tables_np(T + 1, D, C)
+
+    def table(base):
+        ext_q = base[list(range(T)) + [T - 1] * (Tp - T)] if Tp != T else base[:T]
+        return np.concatenate([ext_q, np.tile(base[T:T + 1], (8, 1))], axis=0)
+
+    cos = jnp.asarray(table(cos_np), jnp.float32)
+    sin = jnp.asarray(table(sin_np), jnp.float32)
+    fh = jnp.asarray(fh_np, jnp.float32).reshape(1, C)
+
+    out = pl.pallas_call(
+        functools.partial(_block_kernel, num_heads=num_heads, head_dim=D, channels=C),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Tp, L * C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((C, 3 * C), lambda b: (0, 0)),
+            pl.BlockSpec((1, 3 * C), lambda b: (0, 0)),
+            pl.BlockSpec((C, C), lambda b: (0, 0)),
+            pl.BlockSpec((1, C), lambda b: (0, 0)),
+            pl.BlockSpec((1, C), lambda b: (0, 0)),
+            pl.BlockSpec((1, C), lambda b: (0, 0)),
+            pl.BlockSpec((1, L, TK), lambda b: (b, 0, 0)),
+            pl.BlockSpec((TK, C), lambda b: (0, 0)),
+            pl.BlockSpec((TK, C), lambda b: (0, 0)),
+            pl.BlockSpec((1, C), lambda b: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, Tp, L * C), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Tp, L * C), x.dtype),
+        interpret=interpret,
+    )(x, sh.reshape(B, 1, C), sc.reshape(B, 1, C), g.reshape(B, 1, C),
+      wqkv, bqkv.reshape(1, 3 * C), wout, bout.reshape(1, C),
+      bias_k.reshape(1, C).astype(x.dtype), bias_v.reshape(1, C).astype(x.dtype),
+      bias, cos, sin, fh)
+    return out[:, :T].reshape(B, T * L, C)
+
+
+def _block_xla(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v, key_valid,
+               num_heads, T, L):
+    """Reference composition of the whole block (CPU path and VJP backward):
+    exactly the flax layer's stage — modulate(LN(x)) -> fused qkv projection
+    -> time_attention XLA composition -> out projection -> x + g * y."""
+    B, N, C = x.shape
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    h = ((x32 - mean) * jax.lax.rsqrt(var + _LN_EPS)).astype(x.dtype)
+    h = h * (1 + sc[:, None]) + sh[:, None]
+    qkv = h @ wqkv.astype(h.dtype) + bqkv.astype(h.dtype)
+    q, k, v = (a.reshape(B, T, L, C) for a in
+               (qkv[..., :C], qkv[..., C:2 * C], qkv[..., 2 * C:]))
+    out = _xla_impl(q, k, v, bias_k, bias_v, key_valid, num_heads)
+    y = out.reshape(B, N, C) @ wout.astype(x.dtype) + bout.astype(x.dtype)
+    return x + g[:, None] * y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
+def _time_block_pallas(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v, key_valid,
+                       num_heads, T, L):
+    return _block_pallas_fwd(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v,
+                             key_valid, num_heads, T, L)
+
+
+def _tb_fwd(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v, key_valid,
+            num_heads, T, L):
+    res = (x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v, key_valid)
+    return _block_pallas_fwd(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v,
+                             key_valid, num_heads, T, L), res
+
+
+def _tb_bwd(num_heads, T, L, res, grad):
+    _, vjp = jax.vjp(lambda *a: _block_xla(*a, num_heads, T, L), *res)
+    grads = vjp(grad)
+    return grads[:10] + (None,)
+
+
+_time_block_pallas.defvjp(_tb_fwd, _tb_bwd)
+
+
+def time_attention_block(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v,
+                         key_valid, *, num_heads: int, tl: tuple,
+                         force_xla: bool = False, force_pallas: bool = False):
+    """x (B, T*L, C) raw (pre-LN); sh/sc/g (B, C) AdaLN vectors; wqkv (C, 3C)
+    with the head_dim**-0.5 query scale folded into the q columns; key_valid
+    (B, L, T). Returns x + g * out_proj(attend(qkv(modulate(LN(x)))))."""
+    import os
+
+    T, L = tl
+    B, N, C = x.shape
+    env = os.environ.get("MDGEN_TIME_BLOCK", "")
+    force_xla = force_xla or env == "xla"
+    force_pallas = force_pallas or env == "pallas"
+    use_pallas = force_pallas or (
+        not force_xla and jax.default_backend() == "tpu" and C % 128 == 0
+        and L <= MAX_L and T <= MAX_T and jax.device_count() == 1
+    )
+    if use_pallas:
+        return _time_block_pallas(x, sh, sc, g, wqkv, bqkv, wout, bout,
+                                  bias_k, bias_v, key_valid, num_heads, T, L)
+    return _block_xla(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v,
+                      key_valid, num_heads, T, L)

@@ -71,3 +71,27 @@ def test_blocked_kernel_matches_xla_reference():
         ref = _xla_impl(q, k, v, bk, bv, mask, 4)
         got = _pallas_fwd_blocked(q, k, v, bk, bv, mask, 4, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4), (T, L, masked)
+
+
+def test_fused_block_matches_xla_composition():
+    from mdgen_finetune_tpu.ops.time_attention import _block_pallas_fwd, _block_xla
+
+    rng = np.random.default_rng(3)
+    B, T, L, C, H = 2, 10, 3, 32, 4
+    N = T * L
+    x = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32) * 0.5
+    sh = jnp.asarray(rng.normal(size=(B, C)), jnp.float32) * 0.2
+    sc = jnp.asarray(rng.normal(size=(B, C)), jnp.float32) * 0.2
+    g = jnp.asarray(rng.normal(size=(B, C)), jnp.float32) * 0.5
+    wqkv = jnp.asarray(rng.normal(size=(C, 3 * C)), jnp.float32) * 0.1
+    bqkv = jnp.asarray(rng.normal(size=(3 * C,)), jnp.float32) * 0.05
+    wout = jnp.asarray(rng.normal(size=(C, C)), jnp.float32) * 0.1
+    bout = jnp.asarray(rng.normal(size=(C,)), jnp.float32) * 0.05
+    bk = jnp.asarray(rng.normal(size=(1, 1, C)), jnp.float32) * 0.1
+    bv = jnp.asarray(rng.normal(size=(1, 1, C)), jnp.float32) * 0.1
+    mask = jnp.asarray(rng.integers(0, 2, size=(B, L, T)), jnp.float32).at[:, :, 0].set(1.0)
+
+    ref = _block_xla(x, sh, sc, g, wqkv, bqkv, wout, bout, bk, bv, mask, H, T, L)
+    got = _block_pallas_fwd(x, sh, sc, g, wqkv, bqkv, wout, bout, bk, bv, mask,
+                            H, T, L, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5, rtol=1e-4)
