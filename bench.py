@@ -45,27 +45,39 @@ def main():
         x_cond=x_cond, x_cond_mask=x_cond_mask, aatype=aatype,
     )
 
-    @jax.jit
-    def fwd(params, x, t):
-        return model.apply(
-            params, x, t, mask, start_frames=frames, end_frames=frames,
-            x_cond=x_cond, x_cond_mask=x_cond_mask, aatype=aatype,
-        )
+    N_STEPS = 8
 
-    out = fwd(params, x, t)
-    out.block_until_ready()  # compile
+    @jax.jit
+    def euler_chain(params, x0):
+        # the product's sampling loop shape (transport/samplers.py sample_ode):
+        # N_STEPS dependent denoiser applications inside one lax.scan — no
+        # per-step host dispatch, exactly like batched ODE sampling
+        dt = 1.0 / N_STEPS
+
+        def step(xc, tk):
+            v = model.apply(
+                params, xc, tk, mask, start_frames=frames, end_frames=frames,
+                x_cond=x_cond, x_cond_mask=x_cond_mask, aatype=aatype,
+            )
+            return xc + dt * v.astype(xc.dtype), ()
+
+        ts = jnp.linspace(0.05, 0.95, N_STEPS)[:, None] * jnp.ones((1, B), jnp.float32)
+        xT, _ = jax.lax.scan(step, x0, ts)
+        return xT
+
+    euler_chain(params, x).block_until_ready()  # compile
 
     # distinct inputs per call: the remote-execution relay caches results for
     # repeated (executable, args) pairs, which would inflate the number
-    n_calls = 30
+    n_calls = 4
     xs = [jnp.asarray(rng.normal(size=x.shape), jnp.float32) for _ in range(n_calls)]
     jax.block_until_ready(xs)  # uploads land before the timed region
     start = time.perf_counter()
-    outs = [fwd(params, xs[i], t) for i in range(n_calls)]
+    outs = [euler_chain(params, xs[i]) for i in range(n_calls)]
     jax.block_until_ready(outs)
     elapsed = time.perf_counter() - start
 
-    steps_per_sec = B * n_calls / elapsed
+    steps_per_sec = B * n_calls * N_STEPS / elapsed
     print(
         json.dumps(
             {
