@@ -60,14 +60,21 @@ def sample_prior_latent(
 
 
 class InferenceEngine:
-    def __init__(self, cfg: MDGenConfig, params, dtype=None, sampler: str = "ode", sde_opts: dict | None = None):
+    def __init__(self, cfg: MDGenConfig, params, dtype=None, sampler: str = "ode",
+                 sde_opts: dict | None = None, mesh=None):
         """``sampler``: "ode" (default, the reference task CLIs' path) or
         "sde" (reverse-SDE sampling, Sampler.sample_sde in the reference,
         src/mdgen/transport/transport.py:346-450). ``sde_opts`` forwards to
         Transport.make_sde_sampler (num_steps/method/diffusion_form/
-        diffusion_norm/last_step/last_step_size)."""
+        diffusion_norm/last_step/last_step_size). ``mesh``: optional device
+        mesh for batched multi-chip sampling — registered so the Pallas
+        kernels shard_map over it (parallel/kernel_sharding.py)."""
         self.cfg = cfg
         self.params = params
+        if mesh is not None:
+            from ..parallel.kernel_sharding import set_kernel_mesh
+
+            set_kernel_mesh(mesh)
         if sampler not in ("ode", "sde"):
             raise ValueError(f"unknown sampler {sampler!r}")
         self.sampler = sampler

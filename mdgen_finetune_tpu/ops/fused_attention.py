@@ -54,8 +54,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref):
     o_ref[0] = o.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q",))
-def _fwd_tpu(q, k, v, key_valid, block_q: int = 512):
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+def _fwd_tpu(q, k, v, key_valid, block_q: int = 512, interpret: bool = False):
     R, N, D = q.shape
     M = k.shape[1]
     bq = min(block_q, N)
@@ -74,6 +74,7 @@ def _fwd_tpu(q, k, v, key_valid, block_q: int = 512):
         ],
         out_specs=pl.BlockSpec((1, bq, D), lambda r, i: (r, i, 0)),
         out_shape=jax.ShapeDtypeStruct((R, n_q * bq, D), q.dtype),
+        interpret=interpret,
     )(q, k, v, key_valid[:, None, :])
     return out[:, :N] if pad_n else out
 
@@ -119,8 +120,8 @@ def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, o_ref, dq_ref, dk_ref, dv
     )
 
 
-@functools.partial(jax.jit, static_argnames=("block_q",))
-def _bwd_tpu(q, k, v, key_valid, o, do, block_q: int = 512):
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+def _bwd_tpu(q, k, v, key_valid, o, do, block_q: int = 512, interpret: bool = False):
     R, N, D = q.shape
     M = k.shape[1]
     bq = min(block_q, N)
@@ -151,6 +152,7 @@ def _bwd_tpu(q, k, v, key_valid, o, do, block_q: int = 512):
             jax.ShapeDtypeStruct((R, M, D), jnp.float32),
             jax.ShapeDtypeStruct((R, M, D), jnp.float32),
         ],
+        interpret=interpret,
     )(q, k, v, key_valid[:, None, :], do, o)
     if pad_n:
         dq = dq[:, :N]
@@ -160,19 +162,19 @@ def _bwd_tpu(q, k, v, key_valid, o, do, block_q: int = 512):
 # ---------------------------------------------------------------------------
 # custom-VJP wrapper
 # ---------------------------------------------------------------------------
-@jax.custom_vjp
-def _attention_pallas(q, k, v, key_valid):
-    return _fwd_tpu(q, k, v, key_valid)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _attention_pallas(q, k, v, key_valid, interpret=False):
+    return _fwd_tpu(q, k, v, key_valid, interpret=interpret)
 
 
-def _attention_pallas_fwd(q, k, v, key_valid):
-    o = _fwd_tpu(q, k, v, key_valid)
+def _attention_pallas_fwd(q, k, v, key_valid, interpret):
+    o = _fwd_tpu(q, k, v, key_valid, interpret=interpret)
     return o, (q, k, v, key_valid, o)
 
 
-def _attention_pallas_bwd(res, do):
+def _attention_pallas_bwd(interpret, res, do):
     q, k, v, key_valid, o = res
-    dq, dk, dv = _bwd_tpu(q, k, v, key_valid, o, do)
+    dq, dk, dv = _bwd_tpu(q, k, v, key_valid, o, do, interpret=interpret)
     return dq, dk, dv, None
 
 
@@ -190,20 +192,34 @@ def fused_attention(q, k, v, key_valid=None, *, force_xla: bool = False, force_p
     """Masked softmax attention: q (B, H, N, D) pre-scaled (and roped);
     k, v (B, H, M, D); key_valid (B, M) with 1 = attendable. Returns (B, H, N, D).
     """
+    from ..parallel.kernel_sharding import get_kernel_mesh, shard_map_batch0
+
     B, H, N, D = q.shape
     M = k.shape[2]
-    use_pallas = force_pallas or (
-        not force_xla and jax.default_backend() == "tpu" and PALLAS_MIN_KV <= M <= MAX_KV
-        # single-chip only: no SPMD partitioning rule for pallas_call
-        and jax.device_count() == 1
+    on_tpu = jax.default_backend() == "tpu"
+    want_pallas = force_pallas or (
+        not force_xla and on_tpu and PALLAS_MIN_KV <= M <= MAX_KV
     )
     if key_valid is None:
         key_valid = jnp.ones((B, M), jnp.float32)
+    if not want_pallas:
+        return _attention_xla(q, k, v, key_valid)
 
-    if use_pallas:
-        qr = q.reshape(B * H, N, D)
-        kr = k.reshape(B * H, M, D)
-        vr = v.reshape(B * H, M, D)
-        maskr = jnp.repeat(key_valid.astype(jnp.float32), H, axis=0)
-        return _attention_pallas(qr, kr, vr, maskr).reshape(B, H, N, D)
-    return _attention_xla(q, k, v, key_valid)
+    interp = not on_tpu
+
+    def local(q, k, v, key_valid):
+        b, h = q.shape[0], q.shape[1]
+        qr = q.reshape(b * h, N, D)
+        kr = k.reshape(b * h, M, D)
+        vr = v.reshape(b * h, M, D)
+        maskr = jnp.repeat(key_valid.astype(jnp.float32), h, axis=0)
+        return _attention_pallas(qr, kr, vr, maskr, interp).reshape(b, h, N, D)
+
+    if jax.device_count() > 1 or get_kernel_mesh() is not None:
+        # multi-device: each device runs the kernel on its local batch shard
+        out = shard_map_batch0(local, (True, True, True, True), q, k, v, key_valid)
+        if out is not None:
+            return out
+        if not force_pallas:
+            return _attention_xla(q, k, v, key_valid)
+    return local(q, k, v, key_valid)

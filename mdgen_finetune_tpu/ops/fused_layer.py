@@ -40,13 +40,22 @@ def _kernel(x_ref, mod_ref, wqkv_l_ref, bqkv_l_ref, wout_l_ref, bout_l_ref,
             w1_ref, b1_ref, w2_ref, b2_ref,
             bkl_ref, bvl_ref, bkt_ref, bvt_ref,
             bias_l_ref, bias_t_ref,
-            cosr_ref, sinr_ref, cost_ref, sint_ref, fh_ref, s_ref, st_ref,
-            o_ref, *, num_heads: int, head_dim: int, channels: int):
+            cosr_ref, sinr_ref, cost_ref, sint_ref, fh_ref, fht_ref, s_ref, st_ref,
+            o_ref, *, num_heads: int, head_dim: int, channels: int,
+            stages: str = "123"):
+    """Row-stacked layout: the (Tp, L*C) input is restacked ONCE to
+    (L*Tp, C) so every projection / out-proj / MLP matmul runs as a single
+    MXU op with M = L*Tp rows — the r2 per-residue loop ran each matmul at
+    M = Tp (~40% MFU at the bench shape; the device-op profile showed the
+    kernel itself was 4.0 of the 4.5 ms forward). LN + modulate and gates
+    are single passes over the stacked rows; only RoPE (per-residue
+    constants) and the attention cores keep per-residue row-block loops."""
     C, H, D = channels, num_heads, head_dim
     Tp = x_ref.shape[1]
     LC = x_ref.shape[2]
     L = LC // C
     J = L + 1
+    R = L * Tp
     half = D // 2
     dt = x_ref.dtype
 
@@ -65,15 +74,33 @@ def _kernel(x_ref, mod_ref, wqkv_l_ref, bqkv_l_ref, wout_l_ref, bout_l_ref,
         x32 = x.astype(jnp.float32)
         return (x32 * cos + rotate_half(x32) * sin).astype(x.dtype)
 
+    # stage-2 tensors ride in a lane-PADDED head layout (Dp = 32 lanes per
+    # head when D = 24; identity otherwise): every grouped-stack matmul then
+    # runs on exact 128-lane tiles (W = 4*32 = 128, K = 128), which roughly
+    # doubles the MXU efficiency of the logits/PV products vs the 120-lane
+    # tiles of the compact layout (r3 device ablation: stage-2 core 0.30 ->
+    # target ~0.17 ms/layer at the bench shape). Pad lanes carry zeros (the
+    # padded rope tables have cos = sin = 0 there).
+    Dp = 32 if 128 % D else D
+    Cp = H * Dp
+    halfp = D // 2
+    fht = fht_ref[...]  # (1, Cp)
+
+    def rotate_half_t(x32):
+        take_right = pltpu.roll(x32, Cp - halfp, 1)
+        take_left = pltpu.roll(x32, halfp, 1)
+        return -take_right * fht + take_left * (1 - fht)
+
     def rope_t(x, n0, n):
         cos = cost_ref[pl.ds(n0, n)].astype(jnp.float32)
         sin = sint_ref[pl.ds(n0, n)].astype(jnp.float32)
         x32 = x.astype(jnp.float32)
-        return (x32 * cos + rotate_half(x32) * sin).astype(x.dtype)
+        return (x32 * cos + rotate_half_t(x32) * sin).astype(x.dtype)
 
-    def modln(xr, j):
-        # LN (f32 lane stats, eps 1e-6) + AdaLN modulate with mod row j
-        x32 = xr.astype(jnp.float32)
+    def modln(xs, j):
+        # LN (f32 lane stats, eps 1e-6) + AdaLN modulate with mod row j over
+        # ALL stacked rows in one pass
+        x32 = xs.astype(jnp.float32)
         mean = jnp.mean(x32, axis=1, keepdims=True)
         var = jnp.mean(x32 * x32, axis=1, keepdims=True) - mean * mean
         h = (x32 - mean) * jax.lax.rsqrt(var + _LN_EPS)
@@ -84,95 +111,106 @@ def _kernel(x_ref, mod_ref, wqkv_l_ref, bqkv_l_ref, wout_l_ref, bout_l_ref,
     def gatev(j):
         return mod_ref[0, j:j + 1, :].astype(jnp.float32)  # (1, C)
 
+    def matmul(a, w_ref, b_ref):
+        return jax.lax.dot_general(
+            a, w_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) + b_ref[...].astype(jnp.float32)
+
     x = x_ref[0]  # (Tp, LC)
+    # restack lanes -> rows: X[r*Tp:(r+1)*Tp] = x[:, r*C:(r+1)*C]
+    X = jnp.concatenate([x[:, r * C:(r + 1) * C] for r in range(L)], axis=0)  # (R, C)
+
+    def blk(a, r):
+        return a[r * Tp:(r + 1) * Tp]
 
     # ---- stage 1: residue attention over L, rows as batch ----
-    qs, ks, vs, xs = [], [], [], []
-    for r in range(L):
-        xr = x[:, r * C:(r + 1) * C]
-        xs.append(xr)
-        h = modln(xr, 0)  # sh_l, sc_l
-        qkv = (jax.lax.dot_general(
-            h, wqkv_l_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ) + bqkv_l_ref[...].astype(jnp.float32)).astype(dt)
-        qs.append(rope_res(qkv[:, :C], r))
-        ks.append(rope_res(qkv[:, C:2 * C], r))
-        vs.append(qkv[:, 2 * C:])
-    ks.append(rope_res(jnp.broadcast_to(bkl_ref[...], (Tp, C)).astype(dt), L))
-    vs.append(jnp.broadcast_to(bvl_ref[...], (Tp, C)).astype(dt))
+    if "1" in stages:
+        qkv = matmul(modln(X, 0), wqkv_l_ref, bqkv_l_ref).astype(dt)  # (R, 3C)
+        if "a" not in stages:  # "a" ablates the attention core (perf probe)
+            qs = [rope_res(blk(qkv, r)[:, :C], r) for r in range(L)]
+            ks = [rope_res(blk(qkv, r)[:, C:2 * C], r) for r in range(L)]
+            vs = [blk(qkv, r)[:, 2 * C:] for r in range(L)]
+            ks.append(rope_res(jnp.broadcast_to(bkl_ref[...], (Tp, C)).astype(dt), L))
+            vs.append(jnp.broadcast_to(bvl_ref[...], (Tp, C)).astype(dt))
 
-    Sd = S.astype(dt)
-    bias_l = bias_l_ref[0]  # (Tp, J)
-    g_l = gatev(2)
-    x1 = []
-    for i in range(L):
-        ls = []
-        for j in range(J):
-            e = qs[i] * ks[j]
-            l = jax.lax.dot_general(
-                e, Sd, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            ls.append(l + bias_l[:, j:j + 1])
-        m = ls[0]
-        for l in ls[1:]:
-            m = jnp.maximum(m, l)
-        ps = [jnp.exp(l - m) for l in ls]
-        denom = ps[0]
-        for p in ps[1:]:
-            denom = denom + p
-        inv = 1.0 / denom
-        acc = jnp.zeros((Tp, C), jnp.float32)
-        for j in range(J):
-            p_exp = jax.lax.dot_general(
-                ps[j] * inv, St, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            acc = acc + p_exp * vs[j].astype(jnp.float32)
-        y = jax.lax.dot_general(
-            acc.astype(dt), wout_l_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + bout_l_ref[...].astype(jnp.float32)
-        x1.append((xs[i].astype(jnp.float32) + g_l * y).astype(dt))
+            Sd = S.astype(dt)
+            bias_l = bias_l_ref[0]  # (Tp, J)
+            accs = []
+            for i in range(L):
+                ls = []
+                for j in range(J):
+                    e = qs[i] * ks[j]
+                    l = jax.lax.dot_general(
+                        e, Sd, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                    )
+                    ls.append(l + bias_l[:, j:j + 1])
+                m = ls[0]
+                for l in ls[1:]:
+                    m = jnp.maximum(m, l)
+                ps = [jnp.exp(l - m) for l in ls]
+                denom = ps[0]
+                for p in ps[1:]:
+                    denom = denom + p
+                inv = 1.0 / denom
+                acc = jnp.zeros((Tp, C), jnp.float32)
+                for j in range(J):
+                    p_exp = jax.lax.dot_general(
+                        ps[j] * inv, St, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                    )
+                    acc = acc + p_exp * vs[j].astype(jnp.float32)
+                accs.append(acc.astype(dt))
+            att1 = jnp.concatenate(accs, axis=0)  # (R, C)
+        else:
+            att1 = qkv[:, 2 * C:]
+        X1 = (X.astype(jnp.float32) + gatev(2) * matmul(att1, wout_l_ref, bout_l_ref)).astype(dt)
+    else:
+        X1 = X
 
     # ---- stage 2: frame attention over Tp, residues independent ----
-    bk_blk = rope_t(jnp.broadcast_to(bkt_ref[...], (8, C)).astype(dt), Tp, 8)
-    bv_blk = jnp.broadcast_to(bvt_ref[...], (8, C)).astype(dt)
-    g_t = gatev(5)
-    x2 = []
-    for r in range(L):
-        h = modln(x1[r], 3)  # sh_t, sc_t
-        qkv = (jax.lax.dot_general(
-            h, wqkv_t_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ) + bqkv_t_ref[...].astype(jnp.float32)).astype(dt)
-        q_r = rope_t(qkv[:, :C], 0, Tp)
-        k_r = rope_t(qkv[:, C:2 * C], 0, Tp)
-        kb_r = jnp.concatenate([k_r, bk_blk], axis=0)
-        vb_r = jnp.concatenate([qkv[:, 2 * C:], bv_blk], axis=0)
-        att = _grouped_attend(q_r, kb_r.T, vb_r, bias_t_ref[0, r:r + 1, :], H, D)
-        y = jax.lax.dot_general(
-            att.astype(dt), wout_t_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + bout_t_ref[...].astype(jnp.float32)
-        x2.append((x1[r].astype(jnp.float32) + g_t * y).astype(dt))
+    if "2" in stages:
+        qkv = matmul(modln(X1, 3), wqkv_t_ref, bqkv_t_ref).astype(dt)  # (R, 3Cp)
+        if "a" not in stages:
+            bk_blk = rope_t(jnp.broadcast_to(bkt_ref[...], (8, Cp)).astype(dt), Tp, 8)
+            bv_blk = jnp.broadcast_to(bvt_ref[...], (8, Cp)).astype(dt)
+            atts = []
+            for r in range(L):
+                qkv_r = blk(qkv, r)
+                if "R" in stages:  # perf probe: rope ablated
+                    q_r, k_r = qkv_r[:, :Cp], qkv_r[:, Cp:2 * Cp]
+                else:
+                    q_r = rope_t(qkv_r[:, :Cp], 0, Tp)
+                    k_r = rope_t(qkv_r[:, Cp:2 * Cp], 0, Tp)
+                kb_r = jnp.concatenate([k_r, bk_blk], axis=0)
+                vb_r = jnp.concatenate([qkv_r[:, 2 * Cp:], bv_blk], axis=0)
+                att = _grouped_attend(q_r, kb_r.T, vb_r, bias_t_ref[0, r:r + 1, :], H, Dp,
+                                      probes=stages)
+                atts.append(att.astype(dt))
+            att2 = jnp.concatenate(atts, axis=0)  # (R, Cp)
+        else:
+            att2 = qkv[:, 2 * Cp:]
+        X2 = (X1.astype(jnp.float32) + gatev(5) * matmul(att2, wout_t_ref, bout_t_ref)).astype(dt)
+    else:
+        X2 = X1
 
     # ---- stage 3: MLP ----
-    g_m = gatev(8)
-    for r in range(L):
-        h = modln(x2[r], 6)  # sh_m, sc_m
-        a = jax.lax.dot_general(
-            h, w1_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ) + b1_ref[...].astype(jnp.float32)
+    if "3" in stages:
+        a = matmul(modln(X2, 6), w1_ref, b1_ref)  # (R, 4C) f32
         a = a * 0.5 * (1.0 + _erf(a * (2.0**-0.5)))
-        y = jax.lax.dot_general(
-            a.astype(dt), w2_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + b2_ref[...].astype(jnp.float32)
-        o_ref[0, :, r * C:(r + 1) * C] = (x2[r].astype(jnp.float32) + g_m * y).astype(o_ref.dtype)
+        y = matmul(a.astype(dt), w2_ref, b2_ref)
+        OUT = X2.astype(jnp.float32) + gatev(8) * y
+    else:
+        OUT = X2.astype(jnp.float32)
+
+    # unstack rows -> lanes
+    for r in range(L):
+        o_ref[0, :, r * C:(r + 1) * C] = blk(OUT, r).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "T", "L", "interpret"))
+@functools.partial(jax.jit, static_argnames=("num_heads", "T", "L", "interpret", "stages"))
 def _pallas_fwd(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_t, bout_t,
                 w1, b1, w2, b2, bkl, bvl, bkt, bvt, mask,
-                num_heads: int, T: int, L: int, interpret: bool = False):
+                num_heads: int, T: int, L: int, interpret: bool = False,
+                stages: str = "123"):
     B, N, C = x.shape
     D = C // num_heads
     F = w1.shape[1]
@@ -200,19 +238,49 @@ def _pallas_fwd(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_t, 
     cosr_np, sinr_np, fh_np, s_np = _res_tables_np(J, D, C)
     cost_np, sint_np, _ = _time_tables_np(T + 1, D, C)
 
+    # stage-2 lane-padded head layout (see _kernel): Dp = 32 when D = 24
+    H = num_heads
+    Dp = 32 if 128 % D else D
+    Cp = H * Dp
+
+    def dpad(a, part_shape, axis):
+        """pad the per-head D lanes of ``a`` to Dp and flatten back."""
+        if Dp == D:
+            return a
+        a = a.reshape(part_shape)
+        pads = [(0, 0)] * a.ndim
+        pads[axis] = (0, Dp - D)
+        return jnp.pad(a, pads)
+
+    wqkv_t_p = dpad(wqkv_t, (C, 3, H, D), 3).reshape(C, 3 * Cp)
+    bqkv_t_p = dpad(bqkv_t.reshape(-1), (3, H, D), 2).reshape(1, 3 * Cp)
+    wout_t_p = dpad(wout_t, (H, D, C), 1).reshape(Cp, C)
+    bkt_p = dpad(bkt.reshape(-1), (H, D), 1).reshape(1, Cp)
+    bvt_p = dpad(bvt.reshape(-1), (H, D), 1).reshape(1, Cp)
+
+    def tpad_np(base):
+        """(n, C) rope table -> (n, Cp) with cos = sin = 0 on pad lanes."""
+        if Dp == D:
+            return base
+        n = base.shape[0]
+        return np.pad(base.reshape(n, H, D), ((0, 0), (0, 0), (0, Dp - D))).reshape(n, Cp)
+
     def ttable(base):
         ext_q = base[list(range(T)) + [T - 1] * (Tp - T)] if Tp != T else base[:T]
         return np.concatenate([ext_q, np.tile(base[T:T + 1], (8, 1))], axis=0)
 
     cosr = jnp.asarray(cosr_np, jnp.float32).reshape(J, 1, C)
     sinr = jnp.asarray(sinr_np, jnp.float32).reshape(J, 1, C)
-    cost = jnp.asarray(ttable(cost_np), jnp.float32)
-    sint = jnp.asarray(ttable(sint_np), jnp.float32)
+    cost = jnp.asarray(ttable(tpad_np(cost_np)), jnp.float32)
+    sint = jnp.asarray(ttable(tpad_np(sint_np)), jnp.float32)
     fh = jnp.asarray(fh_np, jnp.float32).reshape(1, C)
+    fht_np = ((np.arange(Cp) % Dp) < D // 2).astype(np.float32)
+    fht = jnp.asarray(fht_np, jnp.float32).reshape(1, Cp)
     S = jnp.asarray(s_np, jnp.float32)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, num_heads=num_heads, head_dim=D, channels=C),
+        functools.partial(_kernel, num_heads=num_heads, head_dim=D, channels=C,
+                          stages=stages),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, Tp, L * C), lambda b: (b, 0, 0)),
@@ -221,9 +289,9 @@ def _pallas_fwd(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_t, 
             pl.BlockSpec((1, 3 * C), lambda b: (0, 0)),
             pl.BlockSpec((C, C), lambda b: (0, 0)),
             pl.BlockSpec((1, C), lambda b: (0, 0)),
-            pl.BlockSpec((C, 3 * C), lambda b: (0, 0)),
-            pl.BlockSpec((1, 3 * C), lambda b: (0, 0)),
-            pl.BlockSpec((C, C), lambda b: (0, 0)),
+            pl.BlockSpec((C, 3 * Cp), lambda b: (0, 0)),
+            pl.BlockSpec((1, 3 * Cp), lambda b: (0, 0)),
+            pl.BlockSpec((Cp, C), lambda b: (0, 0)),
             pl.BlockSpec((1, C), lambda b: (0, 0)),
             pl.BlockSpec((C, F), lambda b: (0, 0)),
             pl.BlockSpec((1, F), lambda b: (0, 0)),
@@ -231,15 +299,16 @@ def _pallas_fwd(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_t, 
             pl.BlockSpec((1, C), lambda b: (0, 0)),
             pl.BlockSpec((1, C), lambda b: (0, 0)),
             pl.BlockSpec((1, C), lambda b: (0, 0)),
-            pl.BlockSpec((1, C), lambda b: (0, 0)),
-            pl.BlockSpec((1, C), lambda b: (0, 0)),
+            pl.BlockSpec((1, Cp), lambda b: (0, 0)),
+            pl.BlockSpec((1, Cp), lambda b: (0, 0)),
             pl.BlockSpec((1, Tp, J), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, L, TKt), lambda b: (b, 0, 0)),
             pl.BlockSpec((J, 1, C), lambda b: (0, 0, 0)),
             pl.BlockSpec((J, 1, C), lambda b: (0, 0, 0)),
-            pl.BlockSpec((TKt, C), lambda b: (0, 0)),
-            pl.BlockSpec((TKt, C), lambda b: (0, 0)),
+            pl.BlockSpec((TKt, Cp), lambda b: (0, 0)),
+            pl.BlockSpec((TKt, Cp), lambda b: (0, 0)),
             pl.BlockSpec((1, C), lambda b: (0, 0)),
+            pl.BlockSpec((1, Cp), lambda b: (0, 0)),
             pl.BlockSpec((C, num_heads), lambda b: (0, 0)),
             pl.BlockSpec((num_heads, C), lambda b: (0, 0)),
         ],
@@ -248,11 +317,11 @@ def _pallas_fwd(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_t, 
         interpret=interpret,
     )(x, mod.reshape(B, 9, C),
       wqkv_l, bqkv_l.reshape(1, 3 * C), wout_l, bout_l.reshape(1, C),
-      wqkv_t, bqkv_t.reshape(1, 3 * C), wout_t, bout_t.reshape(1, C),
+      wqkv_t_p, bqkv_t_p, wout_t_p, bout_t.reshape(1, C),
       w1, b1.reshape(1, F), w2, b2.reshape(1, C),
       bkl.reshape(1, C).astype(x.dtype), bvl.reshape(1, C).astype(x.dtype),
-      bkt.reshape(1, C).astype(x.dtype), bvt.reshape(1, C).astype(x.dtype),
-      bias_l, bias_t, cosr, sinr, cost, sint, fh, S, S.T)
+      bkt_p.astype(x.dtype), bvt_p.astype(x.dtype),
+      bias_l, bias_t, cosr, sinr, cost, sint, fh, fht, S, S.T)
     return out[:, :T].reshape(B, T * L, C)
 
 
@@ -284,23 +353,58 @@ def _layer_xla(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_t, b
     return _mlp_xla(x, sh_m, sc_m, g_m, w1, b1, w2, b2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(19, 20, 21))
+def _layer_kernels(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_t,
+                   bout_t, w1, b1, w2, b2, bkl, bvl, bkt, bvt, mask, num_heads, T, L):
+    """Modular composition routing each stage through its kernel dispatcher —
+    the TPU path for shapes the whole-layer kernel cannot hold in VMEM
+    (T > MAX_T flagship forward-sim T=1000, large-L ATLAS crop-256). Same
+    math as _layer_xla; the residue/frame attention cores engage their
+    Pallas kernels where their own gates allow."""
+    from .adaln_mlp import adaln_mlp
+    from .residue_attention import residue_attention
+    from .time_attention import _block_dispatch
+
+    B, N, C = x.shape
+    modr = mod.reshape(B, 9, C)
+    sh_l, sc_l, g_l = modr[:, 0], modr[:, 1], modr[:, 2]
+    sh_t, sc_t, g_t = modr[:, 3], modr[:, 4], modr[:, 5]
+    sh_m, sc_m, g_m = modr[:, 6], modr[:, 7], modr[:, 8]
+
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    h = ((x32 - mean) * jax.lax.rsqrt(var + _LN_EPS)).astype(x.dtype)
+    h = h * (1 + sc_l[:, None]) + sh_l[:, None]
+    qkv = h @ wqkv_l.astype(h.dtype) + bqkv_l.astype(h.dtype)
+    q, k, v = (a.reshape(B, T, L, C) for a in
+               (qkv[..., :C], qkv[..., C:2 * C], qkv[..., 2 * C:]))
+    out = residue_attention(q, k, v, bkl, bvl, mask, num_heads=num_heads)
+    y = out.reshape(B, N, C) @ wout_l.astype(x.dtype) + bout_l.astype(x.dtype)
+    x = x + g_l[:, None] * y
+
+    x = _block_dispatch(x, sh_t, sc_t, g_t, wqkv_t, bqkv_t, wout_t, bout_t, bkt, bvt,
+                        mask.transpose(0, 2, 1), num_heads, T, L)
+
+    return adaln_mlp(x, sh_m, sc_m, g_m, w1, b1, w2, b2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(19, 20, 21, 22))
 def _fused_layer_pallas(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t,
                         wout_t, bout_t, w1, b1, w2, b2, bkl, bvl, bkt, bvt, mask,
-                        num_heads, T, L):
+                        num_heads, T, L, interpret=False):
     return _pallas_fwd(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t,
                        wout_t, bout_t, w1, b1, w2, b2, bkl, bvl, bkt, bvt, mask,
-                       num_heads, T, L)
+                       num_heads, T, L, interpret=interpret)
 
 
 def _fl_fwd(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_t, bout_t,
-            w1, b1, w2, b2, bkl, bvl, bkt, bvt, mask, num_heads, T, L):
+            w1, b1, w2, b2, bkl, bvl, bkt, bvt, mask, num_heads, T, L, interpret):
     res = (x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_t, bout_t,
            w1, b1, w2, b2, bkl, bvl, bkt, bvt, mask)
-    return _pallas_fwd(*res, num_heads, T, L), res
+    return _pallas_fwd(*res, num_heads, T, L, interpret=interpret), res
 
 
-def _fl_bwd(num_heads, T, L, res, grad):
+def _fl_bwd(num_heads, T, L, interpret, res, grad):
     _, vjp = jax.vjp(lambda *a: _layer_xla(*a, num_heads, T, L), *res)
     grads = vjp(grad)
     return grads[:18] + (None,)
@@ -318,6 +422,8 @@ def fused_layer(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_t,
     the q columns; mask (B, T, L) with 1 = valid."""
     import os
 
+    from ..parallel.kernel_sharding import get_kernel_mesh, shard_map_batch0
+
     T, L = tl
     B, N, C = x.shape
     env = os.environ.get("MDGEN_FUSED_LAYER", "")
@@ -325,12 +431,27 @@ def fused_layer(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_t,
     force_pallas = force_pallas or env == "pallas"
     use_pallas = force_pallas or (
         not force_xla and jax.default_backend() == "tpu" and C % 128 == 0
-        and L <= MAX_L and T <= MAX_T and jax.device_count() == 1
+        and L <= MAX_L and T <= MAX_T
     )
+    args = (x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_t, bout_t,
+            w1, b1, w2, b2, bkl, bvl, bkt, bvt, mask)
     if use_pallas:
-        return _fused_layer_pallas(x, mod, wqkv_l, bqkv_l, wout_l, bout_l,
-                                   wqkv_t, bqkv_t, wout_t, bout_t, w1, b1, w2, b2,
-                                   bkl, bvl, bkt, bvt, mask, num_heads, T, L)
-    return _layer_xla(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t,
-                      wout_t, bout_t, w1, b1, w2, b2, bkl, bvl, bkt, bvt, mask,
-                      num_heads, T, L)
+        interp = jax.default_backend() != "tpu"
+
+        def local(*a):
+            return _fused_layer_pallas(*a, num_heads, T, L, interp)
+
+        # x/mod/mask batched over dim 0; all weights + bias-KV replicated
+        batched = (True, True) + (False,) * 16 + (True,)
+        if jax.device_count() > 1 or get_kernel_mesh() is not None:
+            out = shard_map_batch0(local, batched, *args)
+            if out is not None:
+                return out
+            if not force_pallas:
+                return _layer_xla(*args, num_heads, T, L)
+        return local(*args)
+    if jax.default_backend() == "tpu" and not force_xla:
+        # whole-layer kernel ineligible (long T / large L): modular
+        # composition with per-stage kernels
+        return _layer_kernels(*args, num_heads, T, L)
+    return _layer_xla(*args, num_heads, T, L)

@@ -209,16 +209,17 @@ def _xla_impl(q, k, v, bias_k, bias_v, key_valid, num_heads: int):
     return swap(out)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def _residue_attention_pallas(q, k, v, bias_k, bias_v, key_valid, num_heads):
-    return _pallas_fwd(q, k, v, bias_k, bias_v, key_valid, num_heads)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _residue_attention_pallas(q, k, v, bias_k, bias_v, key_valid, num_heads, interpret=False):
+    return _pallas_fwd(q, k, v, bias_k, bias_v, key_valid, num_heads, interpret=interpret)
 
 
-def _ra_fwd(q, k, v, bias_k, bias_v, key_valid, num_heads):
-    return _pallas_fwd(q, k, v, bias_k, bias_v, key_valid, num_heads), (q, k, v, bias_k, bias_v, key_valid)
+def _ra_fwd(q, k, v, bias_k, bias_v, key_valid, num_heads, interpret):
+    return (_pallas_fwd(q, k, v, bias_k, bias_v, key_valid, num_heads, interpret=interpret),
+            (q, k, v, bias_k, bias_v, key_valid))
 
 
-def _ra_bwd(num_heads, res, g):
+def _ra_bwd(num_heads, interpret, res, g):
     q, k, v, bias_k, bias_v, key_valid = res
     _, vjp = jax.vjp(lambda *a: _xla_impl(*a, num_heads), q, k, v, bias_k, bias_v, key_valid)
     dq, dk, dv, dbk, dbv, _ = vjp(g)
@@ -238,23 +239,38 @@ def residue_attention(q, k, v, bias_k, bias_v, key_valid=None, *, num_heads: int
     """
     import os
 
+    from ..parallel.kernel_sharding import get_kernel_mesh, shard_map_batch0
+
     B, T, L, C = q.shape
     if key_valid is None:
         key_valid = jnp.ones((B, T, L), jnp.float32)
     env = os.environ.get("MDGEN_RESIDUE_ATTENTION", "")  # "xla" | "pallas" A/B override
     force_xla = force_xla or env == "xla"
     force_pallas = force_pallas or env == "pallas"
-    # single-chip only (see time_attention: no SPMD rule for pallas_call)
-    on_tpu = jax.default_backend() == "tpu" and jax.device_count() == 1
+    on_tpu = jax.default_backend() == "tpu"
+    interp = not on_tpu
+    mesh = get_kernel_mesh()
+    multi = jax.device_count() > 1 or mesh is not None
+    # per-DEVICE rows is what the backend compiler sees: very large fused
+    # graphs around the kernel crash it at B*T >~ 12k rows (observed at
+    # B=128, T=100, r2), so gate on the local shard's row count
+    local_B = B // mesh.devices.size if mesh is not None and B % mesh.devices.size == 0 else B
     use_pallas = force_pallas or (
-        not force_xla and on_tpu and L <= MAX_L
-        # very large fused graphs around the kernel crash the backend
-        # compiler at B*T >~ 12k rows (observed at B=128, T=100, r2);
-        # fall back to XLA there
-        and B * T <= 8192
+        not force_xla and on_tpu and L <= MAX_L and local_B * T <= 8192
     )
     if use_pallas:
-        return _residue_attention_pallas(q, k, v, bias_k, bias_v, key_valid, num_heads)
+        def local(q, k, v, bk, bv, key_valid):
+            return _residue_attention_pallas(q, k, v, bk, bv, key_valid,
+                                             num_heads, interp)
+
+        if multi:
+            out = shard_map_batch0(local, (True, True, True, False, False, True),
+                                   q, k, v, bias_k, bias_v, key_valid)
+            if out is not None:
+                return out
+            if not force_pallas:
+                return _xla_impl(q, k, v, bias_k, bias_v, key_valid, num_heads)
+        return local(q, k, v, bias_k, bias_v, key_valid)
     if not force_xla and on_tpu and C % 128 == 0 and _blocked_fits(L, C):
         # large L (ATLAS crop-256): residue attention is time attention with
         # the axes swapped (attend over L, batch (B, T)); the blocked
@@ -263,8 +279,18 @@ def residue_attention(q, k, v, bias_k, bias_v, key_valid=None, *, num_heads: int
         # (B, batch, attend) convention, and its XLA-composition backward is
         # exactly this stage's backward under the same swap.
         swap = lambda x: x.transpose(0, 2, 1, 3)
-        out = _time_attention_pallas_blocked(
-            swap(q), swap(k), swap(v), bias_k, bias_v, key_valid, num_heads
-        )
-        return swap(out)
+
+        def local_blocked(q, k, v, bk, bv, key_valid):
+            out = _time_attention_pallas_blocked(
+                swap(q), swap(k), swap(v), bk, bv, key_valid, num_heads, interp
+            )
+            return swap(out)
+
+        if multi:
+            out = shard_map_batch0(local_blocked, (True, True, True, False, False, True),
+                                   q, k, v, bias_k, bias_v, key_valid)
+            if out is not None:
+                return out
+            return _xla_impl(q, k, v, bias_k, bias_v, key_valid, num_heads)
+        return local_blocked(q, k, v, bias_k, bias_v, key_valid)
     return _xla_impl(q, k, v, bias_k, bias_v, key_valid, num_heads)

@@ -72,12 +72,16 @@ def _group_masks(head_dim: int, group_heads: int, dtype):
     return ((lane >= j * head_dim) & (lane < (j + 1) * head_dim)).astype(dtype)
 
 
-def _grouped_attend(q_r, kbT_r, vb_r, bias, H, D):
+def _grouped_attend(q_r, kbT_r, vb_r, bias, H, D, probes: str = ""):
     """Grouped-stack attention core: q_r (R, C), kbT_r (C, TK), vb_r (TK, C),
     bias (1, TK) additive; heads processed Gh = 128 // D per lane-tile group,
-    every matmul a single-K-tile MXU op. Returns (R, C) f32."""
+    every matmul a single-K-tile MXU op. Returns (R, C) f32. ``probes`` is a
+    perf-ablation switch (fused_layer stage probes): "V" skips the logits/
+    softmax (uniform p), "P" skips the PV product, "Q" skips the QS stacking
+    (single unmasked matmul, wrong-but-shaped logits)."""
     R, C = q_r.shape
     Gh = max(1, 128 // D)
+    TK = kbT_r.shape[1]
     outs = []
     h0 = 0
     while h0 < H:
@@ -88,16 +92,27 @@ def _grouped_attend(q_r, kbT_r, vb_r, bias, H, D):
         kbT_rg = kbT_r[lo:lo + W]  # (W, TK) sublane slice, W multiple of 8
         vb_rg = vb_r[:, lo:lo + W]
         masks = _group_masks(D, gh, q_rg.dtype)  # (gh, 1, W)
-        # stacked rows: block j is q_rg with every lane outside head j zeroed,
-        # so ONE (gh*R, W) @ (W, TK) matmul yields every head's logits
-        qs = (q_rg[None] * masks).reshape(gh * R, W)
-        logits = jax.lax.dot_general(
-            qs, kbT_rg, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (gh*R, TK)
-        logits = logits + bias
-        m = jnp.max(logits, axis=1, keepdims=True)
-        p = jnp.exp(logits - m)
-        p = p / jnp.sum(p, axis=1, keepdims=True)
+        if "V" in probes:
+            p = jnp.full((gh * R, TK), 1.0 / TK, jnp.float32)
+        else:
+            if "Q" in probes:
+                qs = jnp.broadcast_to(q_rg[None], (gh, R, W)).reshape(gh * R, W)
+            else:
+                # stacked rows: block j is q_rg with every lane outside head j
+                # zeroed, so ONE (gh*R, W) @ (W, TK) matmul yields every
+                # head's logits
+                qs = (q_rg[None] * masks).reshape(gh * R, W)
+            logits = jax.lax.dot_general(
+                qs, kbT_rg, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )  # (gh*R, TK)
+            logits = logits + bias
+            m = jnp.max(logits, axis=1, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = p / jnp.sum(p, axis=1, keepdims=True)
+        if "P" in probes:
+            outs.append(q_rg.astype(jnp.float32) + p[:R, :1] * 0.0)
+            h0 += gh
+            continue
         pv = jax.lax.dot_general(
             p.astype(vb_rg.dtype), vb_rg, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -218,16 +233,18 @@ def _pallas_fwd(q, k, v, bias_k, bias_v, key_valid, num_heads: int, interpret: b
 
 
 def _kernel_blocked(q_ref, kb_ref, vb_ref, bias_ref, cos_ref, sin_ref, fh_ref, o_ref,
-                    *, head_dim: int, num_heads: int):
-    """Blocked grouped-stack variant for long T / large L: grid (B, L, n_q),
-    one (residue, query-block) per program with the FULL roped K/V slice in
-    VMEM (no online softmax needed). kb/vb arrive with the 8-row bias-token
-    block already appended (one attendable copy, rest masked)."""
+                    *, head_dim: int, num_heads: int, tq: int):
+    """Blocked grouped-stack variant for long T / large L: grid (B, L), one
+    (batch element, residue) per program with the FULL roped K/V slice in
+    VMEM and an internal loop over query blocks (no online softmax needed).
+    K/V are roped/transposed ONCE per program — the r2 version gridded over
+    query blocks too and re-roped the whole K slice n_q times, which made
+    T=1000 lose to the flash path (PERF.md r2). kb/vb arrive with the 8-row
+    bias-token block already appended (one attendable copy, rest masked)."""
     D, H = head_dim, num_heads
-    tq, C = q_ref.shape[1:]
+    Tp, C = q_ref.shape[1:]
     TK = kb_ref.shape[1]
     half = D // 2
-    i = pl.program_id(2)
 
     fh = fh_ref[...]
 
@@ -242,12 +259,15 @@ def _kernel_blocked(q_ref, kb_ref, vb_ref, bias_ref, cos_ref, sin_ref, fh_ref, o
         x32 = x.astype(jnp.float32)
         return (x32 * cos + rotate_half(x32) * sin).astype(x.dtype)
 
-    q_blk = rope(q_ref[0], pl.multiple_of(i * tq, 8), tq)  # (tq, C)
     kb = rope(kb_ref[0], 0, TK)  # (TK, C); bias rows hit position-T table rows
-    kbT = kb.T  # (C, TK)
+    kbT = kb.T  # (C, TK) — one transpose per program
     vb = vb_ref[0]
     bias = bias_ref[0]  # (1, TK)
-    o_ref[0] = _grouped_attend(q_blk, kbT, vb, bias, H, D).astype(o_ref.dtype)
+    for i in range(Tp // tq):
+        q_blk = rope(q_ref[0, i * tq:(i + 1) * tq], i * tq, tq)  # (tq, C)
+        o_ref[0, i * tq:(i + 1) * tq] = _grouped_attend(
+            q_blk, kbT, vb, bias, H, D
+        ).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
@@ -273,53 +293,70 @@ def _pallas_fwd_blocked(q, k, v, bias_k, bias_v, key_valid, num_heads: int,
     tail = tail.at[:, :, Tp - T].set(0.0)
     bias = jnp.concatenate([bias, tail], axis=2).reshape(B * L, 1, TK)
 
+    # pad the QUERY rows up to a multiple of the chosen block (keys stay TK;
+    # the pad rows' outputs are sliced off)
+    tq = _blocked_tq(Tp, TK, C)
+    Tp2 = -(-Tp // tq) * tq
+    if Tp2 != Tp:
+        q = jnp.pad(q, ((0, 0), (0, Tp2 - Tp), (0, 0)))
+
     cos_np, sin_np, fh_np = _rope_tables_np(T + 1, D, C)
 
     def table(base):
         ext_q = base[list(range(T)) + [T - 1] * (Tp - T)] if Tp != T else base[:T]
-        return np.concatenate([ext_q, np.tile(base[T:T + 1], (8, 1))], axis=0)
+        t = np.concatenate([ext_q, np.tile(base[T:T + 1], (8, 1))], axis=0)  # (TK,)
+        if Tp2 + 8 > TK:  # rows for the q pad tail (garbage rows, sliced off)
+            t = np.concatenate([t, np.tile(t[-1:], (Tp2 + 8 - TK, 1))], axis=0)
+        return t
 
     cos = jnp.asarray(table(cos_np), jnp.float32)
     sin = jnp.asarray(table(sin_np), jnp.float32)
     fh = jnp.asarray(fh_np, jnp.float32).reshape(1, C)
 
-    tq = _blocked_tq(Tp, TK, C)
-    n_q = Tp // tq
     out = pl.pallas_call(
-        functools.partial(_kernel_blocked, head_dim=D, num_heads=num_heads),
-        grid=(B, L, n_q),
+        functools.partial(_kernel_blocked, head_dim=D, num_heads=num_heads, tq=tq),
+        grid=(B, L),
         in_specs=[
-            pl.BlockSpec((1, tq, C), lambda b, r, i: (b, i, r)),
-            pl.BlockSpec((1, TK, C), lambda b, r, i: (b, 0, r)),
-            pl.BlockSpec((1, TK, C), lambda b, r, i: (b, 0, r)),
-            pl.BlockSpec((1, 1, TK), lambda b, r, i, L=L: (b * L + r, 0, 0)),
-            pl.BlockSpec((TK, C), lambda b, r, i: (0, 0)),
-            pl.BlockSpec((TK, C), lambda b, r, i: (0, 0)),
-            pl.BlockSpec((1, C), lambda b, r, i: (0, 0)),
+            pl.BlockSpec((1, Tp2, C), lambda b, r: (b, 0, r)),
+            pl.BlockSpec((1, TK, C), lambda b, r: (b, 0, r)),
+            pl.BlockSpec((1, TK, C), lambda b, r: (b, 0, r)),
+            pl.BlockSpec((1, 1, TK), lambda b, r, L=L: (b * L + r, 0, 0)),
+            pl.BlockSpec((max(TK, Tp2 + 8), C), lambda b, r: (0, 0)),
+            pl.BlockSpec((max(TK, Tp2 + 8), C), lambda b, r: (0, 0)),
+            pl.BlockSpec((1, C), lambda b, r: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, tq, C), lambda b, r, i: (b, i, r)),
-        out_shape=jax.ShapeDtypeStruct((B, Tp, L * C), q.dtype),
+        out_specs=pl.BlockSpec((1, Tp2, C), lambda b, r: (b, 0, r)),
+        out_shape=jax.ShapeDtypeStruct((B, Tp2, L * C), q.dtype),
         interpret=interpret,
     )(q, kb, vb, bias, cos, sin, fh)
     return out[:, :T].reshape(B, T, L, C)
 
 
-def _blocked_tq(Tp: int, TK: int, C: int, budget: int = 9 * 1024 * 1024):
-    """Query block: multiple of 8 dividing Tp, sized so K/V + f32 logits fit."""
+def _blocked_vmem_fixed(Tp: int, TK: int, C: int) -> int:
+    """Per-program resident bytes independent of the query-block size: the
+    full q and out slices (double-buffered bf16), kb/vb (double-buffered),
+    and the roped-K + transpose + rope f32 temporaries."""
+    return 4 * Tp * C * 2 + 4 * TK * C * 2 + 2 * TK * C * 4
+
+
+def _blocked_tq(Tp: int, TK: int, C: int, budget: int = 13 * 1024 * 1024):
+    """Query block (multiple of 8) sized so the resident slices plus the
+    (Gh*tq, TK) f32 logits/probs fit VMEM; Tp is padded UP to a multiple of
+    the choice by the caller."""
+    Gh = 5  # worst-case heads per group at D=24; close enough for sizing
     for tq in (256, 128, 64, 32, 16, 8):
-        if Tp % tq:
+        if tq > Tp:  # don't pad the whole query dim up to an oversized block
             continue
-        Gh = 5  # worst-case heads per group at D=24; close enough for sizing
-        est = (2 * 2 * TK * C * 2) + (2 * tq * C * 2) + 2 * (Gh * tq) * TK * 4 + tq * C * 4
+        est = _blocked_vmem_fixed(Tp, TK, C) + 2 * (Gh * tq) * TK * 4
         if est <= budget:
             return tq
     return 8
 
 
 def _blocked_fits(T: int, C: int) -> bool:
-    TK = -(-T // 8) * 8 + 8
-    # the full K/V slice (x2 arrays, x2 buffers) must leave room for logits
-    return 2 * 2 * TK * C * 2 + 2 * (5 * 8) * TK * 4 <= 10 * 1024 * 1024
+    Tp = -(-T // 8) * 8
+    TK = Tp + 8
+    return _blocked_vmem_fixed(Tp, TK, C) + 2 * (5 * 8) * TK * 4 <= 13 * 1024 * 1024
 
 
 # ---------------------------------------------------------------------------
@@ -353,16 +390,17 @@ def _xla_impl(q, k, v, bias_k, bias_v, key_valid, num_heads: int):
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def _time_attention_pallas(q, k, v, bias_k, bias_v, key_valid, num_heads):
-    return _pallas_fwd(q, k, v, bias_k, bias_v, key_valid, num_heads)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _time_attention_pallas(q, k, v, bias_k, bias_v, key_valid, num_heads, interpret=False):
+    return _pallas_fwd(q, k, v, bias_k, bias_v, key_valid, num_heads, interpret=interpret)
 
 
-def _ta_fwd(q, k, v, bias_k, bias_v, key_valid, num_heads):
-    return _pallas_fwd(q, k, v, bias_k, bias_v, key_valid, num_heads), (q, k, v, bias_k, bias_v, key_valid)
+def _ta_fwd(q, k, v, bias_k, bias_v, key_valid, num_heads, interpret):
+    return (_pallas_fwd(q, k, v, bias_k, bias_v, key_valid, num_heads, interpret=interpret),
+            (q, k, v, bias_k, bias_v, key_valid))
 
 
-def _ta_bwd(num_heads, res, g):
+def _ta_bwd(num_heads, interpret, res, g):
     q, k, v, bias_k, bias_v, key_valid = res
     _, vjp = jax.vjp(lambda *a: _xla_impl(*a, num_heads), q, k, v, bias_k, bias_v, key_valid)
     dq, dk, dv, dbk, dbv, _ = vjp(g)
@@ -372,13 +410,13 @@ def _ta_bwd(num_heads, res, g):
 _time_attention_pallas.defvjp(_ta_fwd, _ta_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def _time_attention_pallas_blocked(q, k, v, bias_k, bias_v, key_valid, num_heads):
-    return _pallas_fwd_blocked(q, k, v, bias_k, bias_v, key_valid, num_heads)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _time_attention_pallas_blocked(q, k, v, bias_k, bias_v, key_valid, num_heads, interpret=False):
+    return _pallas_fwd_blocked(q, k, v, bias_k, bias_v, key_valid, num_heads, interpret=interpret)
 
 
-def _tab_fwd(q, k, v, bias_k, bias_v, key_valid, num_heads):
-    return (_pallas_fwd_blocked(q, k, v, bias_k, bias_v, key_valid, num_heads),
+def _tab_fwd(q, k, v, bias_k, bias_v, key_valid, num_heads, interpret):
+    return (_pallas_fwd_blocked(q, k, v, bias_k, bias_v, key_valid, num_heads, interpret=interpret),
             (q, k, v, bias_k, bias_v, key_valid))
 
 
@@ -395,24 +433,46 @@ def time_attention(q, k, v, bias_k, bias_v, key_valid=None, *, num_heads: int,
     """
     import os
 
+    from ..parallel.kernel_sharding import get_kernel_mesh, shard_map_batch0
+
     B, T, L, C = q.shape
     if key_valid is None:
         key_valid = jnp.ones((B, L, T), jnp.float32)
     env = os.environ.get("MDGEN_TIME_ATTENTION", "")  # "xla" | "pallas" A/B override
     force_xla = force_xla or env == "xla"
     force_pallas = force_pallas or env == "pallas"
-    # single-chip only: under a multi-device mesh the pallas_call has no SPMD
-    # partitioning rule, so the partitionable XLA composition is the safe path
-    on_tpu = jax.default_backend() == "tpu" and C % 128 == 0 and jax.device_count() == 1
+    on_tpu = jax.default_backend() == "tpu" and C % 128 == 0
+    interp = jax.default_backend() != "tpu"
+    multi = jax.device_count() > 1 or get_kernel_mesh() is not None
+
+    def dispatch(local, fallback):
+        # multi-device: shard_map over the batch dim (each device runs the
+        # kernel on its local shard); single device calls the kernel directly
+        if multi:
+            out = shard_map_batch0(local, (True, True, True, False, False, True),
+                                   q, k, v, bias_k, bias_v, key_valid)
+            if out is not None:
+                return out
+            if not force_pallas:
+                return fallback()
+        return local(q, k, v, bias_k, bias_v, key_valid)
+
     if force_pallas or (not force_xla and on_tpu and L <= MAX_L and T <= MAX_T):
-        return _time_attention_pallas(q, k, v, bias_k, bias_v, key_valid, num_heads)
-    if (env == "blocked" or (not force_xla and on_tpu and L > MAX_L and T <= MAX_T)) \
+        return dispatch(
+            lambda q, k, v, bk, bv, kv: _time_attention_pallas(q, k, v, bk, bv, kv, num_heads, interp),
+            lambda: _xla_impl(q, k, v, bias_k, bias_v, key_valid, num_heads),
+        )
+    if (env == "blocked" or (not force_xla and on_tpu and (L > MAX_L or T > MAX_T))) \
             and _blocked_fits(T, C):
         # blocked variant (full roped K/V per (b, residue) in VMEM, grid
-        # (B, L, T/tq)): wins at large L (ATLAS fwd 89.8 vs 100.6 ms) but
-        # loses to the flash path at long T (T=1000: 49 vs 25 ms — per-
-        # program K/V re-rope dominates when n_q is large), hence the gates
-        return _time_attention_pallas_blocked(q, k, v, bias_k, bias_v, key_valid, num_heads)
+        # (B, L), internal query-block loop): serves large L (ATLAS) and long
+        # T (the reference's flagship T=1000 forward-sim config) — the r3
+        # rewrite ropes K once per (b, r), fixing the r2 re-rope overhead
+        # that made T=1000 lose to the flash path
+        return dispatch(
+            lambda q, k, v, bk, bv, kv: _time_attention_pallas_blocked(q, k, v, bk, bv, kv, num_heads, interp),
+            lambda: _xla_impl(q, k, v, bias_k, bias_v, key_valid, num_heads),
+        )
     return _xla_impl(q, k, v, bias_k, bias_v, key_valid, num_heads)
 
 
@@ -543,10 +603,12 @@ def _block_pallas_fwd(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v, key_
 
 
 def _block_xla(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v, key_valid,
-               num_heads, T, L):
+               num_heads, T, L, attend=None):
     """Reference composition of the whole block (CPU path and VJP backward):
     exactly the flax layer's stage — modulate(LN(x)) -> fused qkv projection
-    -> time_attention XLA composition -> out projection -> x + g * y."""
+    -> time_attention XLA composition -> out projection -> x + g * y.
+    ``attend`` overrides the attention core (``_block_dispatch`` routes it
+    through the kernel dispatcher for shapes the fused block cannot hold)."""
     B, N, C = x.shape
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
@@ -556,26 +618,41 @@ def _block_xla(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v, key_valid,
     qkv = h @ wqkv.astype(h.dtype) + bqkv.astype(h.dtype)
     q, k, v = (a.reshape(B, T, L, C) for a in
                (qkv[..., :C], qkv[..., C:2 * C], qkv[..., 2 * C:]))
-    out = _xla_impl(q, k, v, bias_k, bias_v, key_valid, num_heads)
+    attend = attend if attend is not None else _xla_impl
+    out = attend(q, k, v, bias_k, bias_v, key_valid, num_heads)
     y = out.reshape(B, N, C) @ wout.astype(x.dtype) + bout.astype(x.dtype)
     return x + g[:, None] * y
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
+def _block_dispatch(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v, key_valid,
+                    num_heads, T, L):
+    """The block composition with the attention core routed through the
+    ``time_attention`` dispatcher — on TPU the blocked grouped-stack kernel
+    engages for long T / large L where the fused whole-block kernel cannot
+    hold the activation in VMEM (reference flagship T=1000 forward-sim,
+    README.md:50-56)."""
+    return _block_xla(
+        x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v, key_valid,
+        num_heads, T, L,
+        attend=lambda q, k, v, bk, bv, kv, H: time_attention(q, k, v, bk, bv, kv, num_heads=H),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14))
 def _time_block_pallas(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v, key_valid,
-                       num_heads, T, L):
+                       num_heads, T, L, interpret=False):
     return _block_pallas_fwd(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v,
-                             key_valid, num_heads, T, L)
+                             key_valid, num_heads, T, L, interpret=interpret)
 
 
 def _tb_fwd(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v, key_valid,
-            num_heads, T, L):
+            num_heads, T, L, interpret):
     res = (x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v, key_valid)
     return _block_pallas_fwd(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v,
-                             key_valid, num_heads, T, L), res
+                             key_valid, num_heads, T, L, interpret=interpret), res
 
 
-def _tb_bwd(num_heads, T, L, res, grad):
+def _tb_bwd(num_heads, T, L, interpret, res, grad):
     _, vjp = jax.vjp(lambda *a: _block_xla(*a, num_heads, T, L), *res)
     grads = vjp(grad)
     return grads[:10] + (None,)
@@ -592,17 +669,35 @@ def time_attention_block(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v,
     (B, L, T). Returns x + g * out_proj(attend(qkv(modulate(LN(x)))))."""
     import os
 
+    from ..parallel.kernel_sharding import get_kernel_mesh, shard_map_batch0
+
     T, L = tl
     B, N, C = x.shape
     env = os.environ.get("MDGEN_TIME_BLOCK", "")
     force_xla = force_xla or env == "xla"
     force_pallas = force_pallas or env == "pallas"
+    on_tpu = jax.default_backend() == "tpu"
     use_pallas = force_pallas or (
-        not force_xla and jax.default_backend() == "tpu" and C % 128 == 0
-        and L <= MAX_L and T <= MAX_T and jax.device_count() == 1
+        not force_xla and on_tpu and C % 128 == 0 and L <= MAX_L and T <= MAX_T
     )
+    args = (x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v, key_valid)
     if use_pallas:
-        return _time_block_pallas(x, sh, sc, g, wqkv, bqkv, wout, bout,
-                                  bias_k, bias_v, key_valid, num_heads, T, L)
-    return _block_xla(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v,
-                      key_valid, num_heads, T, L)
+        interp = not on_tpu
+
+        def local(x, sh, sc, g, wqkv, bqkv, wout, bout, bk, bv, kv):
+            return _time_block_pallas(x, sh, sc, g, wqkv, bqkv, wout, bout,
+                                      bk, bv, kv, num_heads, T, L, interp)
+
+        batched = (True, True, True, True, False, False, False, False, False, False, True)
+        if jax.device_count() > 1 or get_kernel_mesh() is not None:
+            out = shard_map_batch0(local, batched, *args)
+            if out is not None:
+                return out
+            if not force_pallas:
+                return _block_xla(*args, num_heads, T, L)
+        return local(*args)
+    if on_tpu and not force_xla:
+        # fused block ineligible (long T / large L): still route the
+        # attention core through the kernel dispatcher
+        return _block_dispatch(*args, num_heads, T, L)
+    return _block_xla(*args, num_heads, T, L)

@@ -1,0 +1,89 @@
+"""Trace-time mesh registry + shard_map wrapper for Pallas kernel sites.
+
+``pallas_call`` has no SPMD partitioning rule: under a jit over a
+multi-device mesh XLA cannot partition the op, so round 2 gated every kernel
+to ``jax.device_count() == 1`` — which turned them all off on the BASELINE
+target hardware (v5e-8). The TPU-native fix is ``jax.shard_map``: every
+kernel here grids over the batch/rows dim, so dp sharding is embarrassingly
+parallel — each device runs the SAME kernel on its LOCAL batch shard and no
+collective is needed in the kernel region at all. When the global batch also
+divides the full mesh (dp x sp), the sp axis is folded into the batch dim
+(``PartitionSpec(("dp", "sp"))``), so sequence-parallel meshes still run the
+kernels; XLA inserts the boundary resharding collectives.
+
+shard_map needs the CONCRETE mesh at trace time, which jit's sharding
+propagation does not expose — so the runtimes (training.Trainer,
+inference.InferenceEngine) register their mesh here and the kernel
+dispatchers (ops/*.py) pick it up while tracing.
+
+Autodiff: the kernels' custom VJPs live INSIDE the shard_map region, so the
+backward also runs per-shard; cotangents of replicated operands (weights,
+bias-KV tokens) are psum'd over the mesh by shard_map's transpose
+(check_vma=False semantics), exactly the dp gradient all-reduce.
+"""
+from __future__ import annotations
+
+import contextlib
+from typing import Optional, Sequence
+
+import jax
+from jax.sharding import Mesh, PartitionSpec as P
+
+_ACTIVE_MESH: list = [None]
+
+
+def set_kernel_mesh(mesh: Optional[Mesh]) -> None:
+    """Register the mesh the surrounding jit is sharded over (None clears)."""
+    _ACTIVE_MESH[0] = mesh
+
+
+def get_kernel_mesh() -> Optional[Mesh]:
+    mesh = _ACTIVE_MESH[0]
+    if mesh is not None and mesh.devices.size <= 1:
+        return None
+    return mesh
+
+
+@contextlib.contextmanager
+def kernel_mesh(mesh: Optional[Mesh]):
+    prev = _ACTIVE_MESH[0]
+    _ACTIVE_MESH[0] = mesh
+    try:
+        yield
+    finally:
+        _ACTIVE_MESH[0] = prev
+
+
+def batch_shard_axes(mesh: Mesh, batch: int):
+    """Mesh axes to shard dim 0 over: the full mesh when the batch divides
+    it, else the leading (dp) axis alone, else None (caller falls back)."""
+    names = tuple(mesh.axis_names)
+    if batch % mesh.devices.size == 0:
+        return names
+    lead = mesh.shape[names[0]]
+    if lead > 1 and batch % lead == 0:
+        # dp-only sharding: the kernel region is replicated over the non-lead
+        # (sp) axes — correct, just not work-split there
+        return (names[0],)
+    return None
+
+
+def shard_map_batch0(fn, batched: Sequence[bool], *args, mesh: Optional[Mesh] = None):
+    """Run ``fn(*args)`` under shard_map with dim 0 of every ``batched`` arg
+    sharded over the mesh and the rest replicated. Output is dim-0 sharded.
+    Returns None when no mesh is active or the batch doesn't divide — the
+    caller then uses its partitionable XLA path.
+    """
+    mesh = mesh if mesh is not None else get_kernel_mesh()
+    if mesh is None:
+        return None
+    batch = next(a.shape[0] for a, b in zip(args, batched) if b)
+    axes = batch_shard_axes(mesh, batch)
+    if axes is None:
+        return None
+    spec = P(axes if len(axes) > 1 else axes[0])
+    in_specs = tuple(spec if b else P() for b in batched)
+    mapped = jax.shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=spec, check_vma=False
+    )
+    return mapped(*args)

@@ -23,6 +23,7 @@ import optax
 from ..config import MDGenConfig
 from ..data.featurize import featurize_atom14_batch
 from ..models import LatentMDGen
+from ..parallel.kernel_sharding import set_kernel_mesh
 from ..parallel.mesh import make_mesh, replicated_sharding, shard_batch
 from ..tasks import prep_batch
 from ..transport import create_transport
@@ -48,6 +49,9 @@ class Trainer:
     def __init__(self, cfg: MDGenConfig, mesh=None, dtype=None):
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh(cfg.train.dp_size or None, cfg.train.sp_size)
+        # let the Pallas kernel dispatchers shard_map over this mesh when the
+        # step traces under multiple devices (parallel/kernel_sharding.py)
+        set_kernel_mesh(self.mesh)
         self.dtype = dtype if dtype is not None else (jnp.bfloat16 if cfg.model.use_bf16 else jnp.float32)
         self.model = LatentMDGen(cfg, cfg.latent_dim, dtype=self.dtype)
         # dropout-active twin for the training loss (same params; train=True

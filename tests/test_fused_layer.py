@@ -48,3 +48,13 @@ def test_fused_layer_grads_flow():
     for gr in grads:
         assert np.isfinite(np.asarray(gr)).all()
         assert float(jnp.abs(gr).max()) > 0
+
+
+def test_fused_layer_padded_head_layout():
+    """D = 24 (the flagship head_dim) routes stage 2 through the lane-padded
+    Dp = 32 head layout; parity vs the XLA composition pins the padding,
+    padded rope tables, and padded weight re-layouts."""
+    x, mod, a, mask, tl, H = _inputs(B=1, T=9, L=2, C=384, H=16, masked=True, seed=5)
+    ref = _layer_xla(x, mod, *a.values(), mask, H, *tl)
+    got = _pallas_fwd(x, mod, *a.values(), mask, H, *tl, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-3)
