@@ -31,6 +31,10 @@ def main(argv=None):
     p.add_argument("--data_dir", type=str, required=True)
     p.add_argument("--split", type=str, required=True)
     p.add_argument("--peptide", type=str, default=None)
+    p.add_argument("--peptides_per_batch", type=int, default=1,
+                   help=">1 mixes that many DISTINCT peptides per batch (the conditional "
+                        "variant, reference outsourced_train_conditional_posterior.py); "
+                        "batch_size must be a multiple")
     p.add_argument("--method", type=str, default="rtb", choices=["rtb", "tb"])
     p.add_argument("--lr", type=float, default=5e-5)
     p.add_argument("--logz_lr", type=float, default=5e-2)
@@ -64,7 +68,14 @@ def main(argv=None):
     a = p.parse_args(argv)
 
     cfg, params = load_params(a)
-    sim = MDGenSimulator(cfg, params, a.split, data_dir=a.data_dir, batch_size=1)
+    if a.batch_size % a.peptides_per_batch:
+        raise SystemExit(
+            f"--batch_size {a.batch_size} must be a multiple of --peptides_per_batch {a.peptides_per_batch}"
+        )
+    sim = MDGenSimulator(
+        cfg, params, a.split, data_dir=a.data_dir, batch_size=a.peptides_per_batch,
+        distinct_peptides=a.peptides_per_batch > 1,
+    )
     rtb = RTBConfig(
         method=a.method, lr=a.lr, logz_lr=a.logz_lr, batch_size=a.batch_size,
         n_iterations=a.n_iterations, sampling_length=a.sampling_length,
@@ -99,11 +110,14 @@ def main(argv=None):
             import tempfile
 
             def reward_fn(a14, aat):
+                # aat is (L,) shared or (B, L) per-element (conditional batch)
+                aat = np.asarray(aat)
                 paths = []
                 with tempfile.TemporaryDirectory() as td:
                     for i in range(a14.shape[0]):
                         path = os.path.join(td, f"sample_{i}.pdb")
-                        atom14_to_pdb(np.asarray(a14[i]), np.asarray(aat), path)
+                        aat_i = aat[i] if aat.ndim == 2 else aat
+                        atom14_to_pdb(np.asarray(a14[i]), aat_i, path)
                         paths.append(path)
                     _, logrs = reward_obj(paths=paths, tmp_dir=td)
                     return logrs

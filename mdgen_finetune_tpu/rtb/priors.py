@@ -30,11 +30,16 @@ def rc_restype_order(c: str) -> int:
 
 class MDGenSimulator:
     def __init__(self, cfg: MDGenConfig, params, split: str, data_dir: Optional[str] = None, batch_size: int = 1,
-                 out_dir: Optional[str] = None):
+                 out_dir: Optional[str] = None, distinct_peptides: bool = False):
+        """``distinct_peptides``: draw the ``batch_size`` dataset entries
+        WITHOUT replacement so a conditional batch mixes different peptides
+        (the reference's outsourced_train_conditional_posterior feeds one
+        posterior many peptides, src/rtb_utils/gfn_diffusion.py:438-456)."""
         self.cfg = cfg
         self.engine = InferenceEngine(cfg, params)
         self.dataset = MDGenDataset(cfg, split, data_dir=data_dir)
         self.batch_size = batch_size
+        self.distinct_peptides = distinct_peptides
         self._decode_jit = jax.jit(self._decode_with_zs0)
         self.rng = np.random.default_rng(cfg.train.seed)
         # sample/target-dist scratch space (reference out_dir + target_dist.pt,
@@ -106,7 +111,18 @@ class MDGenSimulator:
 
     # ------------------------------------------------------------------
     def get_batch(self) -> dict:
-        raw = self.dataset.batch(self.rng, self.batch_size)
+        if self.distinct_peptides and self.batch_size > 1:
+            n_entries = len(self.dataset.entries)
+            idxs = self.rng.choice(n_entries, size=min(self.batch_size, n_entries), replace=False)
+            samples = [self.dataset.sample(self.rng, idx=int(i)) for i in idxs]
+            raw = {
+                "atom14": np.stack([s["atom14"] for s in samples]),
+                "seqres": np.stack([s["seqres"] for s in samples]),
+                "mask": np.stack([s["mask"] for s in samples]),
+                "name": [s["name"] for s in samples],
+            }
+        else:
+            raw = self.dataset.batch(self.rng, self.batch_size)
         feats = featurize_atom14_batch(
             jnp.asarray(raw["atom14"]), jnp.asarray(raw["seqres"]), jnp.asarray(raw["mask"])
         )

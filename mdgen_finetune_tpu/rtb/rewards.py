@@ -62,8 +62,18 @@ class SurrogateReward:
         return e
 
     def __call__(self, atom14, aatype) -> jnp.ndarray:
-        """atom14 (B, T, L, 14, 3) -> log_r (B,) averaged over frames."""
-        e = self._energy_jit(jnp.asarray(atom14), jnp.asarray(aatype))
+        """atom14 (B, T, L, 14, 3) -> log_r (B,) averaged over frames.
+
+        ``aatype`` is either one shared sequence (L,) or per-element
+        sequences (B, L) — the conditional multi-peptide RTB batch scores
+        each element with its OWN sequence (the reference's conditional
+        variant, src/rtb_utils/gfn_diffusion.py:438-456)."""
+        atom14 = jnp.asarray(atom14)
+        aatype = jnp.asarray(aatype)
+        if aatype.ndim == 2:
+            e = jax.vmap(self._energy)(atom14, aatype)  # (B, T)
+        else:
+            e = self._energy_jit(atom14, aatype)
         return -jnp.mean(e, axis=-1) / self.temperature
 
 

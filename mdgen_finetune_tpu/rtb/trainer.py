@@ -187,7 +187,7 @@ class RTBTrainer:
         )
         self._grad_jit = jax.jit(
             jax.value_and_grad(self._loss, has_aux=True),
-            static_argnames=("batch_size", "sample_from_prior"),
+            static_argnames=("batch_size", "n_peptides", "sample_from_prior"),
         )
 
     # ------------------------------------------------------------------
@@ -198,8 +198,23 @@ class RTBTrainer:
             sample_from_prior=sample_from_prior,
         )
 
+    def _logz_estimate(self, trainables, logpf_posterior, log_pf_ref, logr,
+                       peptide_ids=None, n_peptides: int = 1):
+        """logZ for the RTB loss: the learned scalar, a VarGrad batch
+        estimate, or — conditional multi-peptide variant — one VarGrad
+        estimate PER PEPTIDE gathered back per element
+        (src/rtb_utils/gfn_diffusion.py:438-456)."""
+        if not self.rtb.vargrad:
+            return trainables["logZ"]
+        vg = vargrad_logz(logpf_posterior, log_pf_ref, logr)
+        if peptide_ids is None or n_peptides <= 1:
+            return jnp.mean(vg)
+        sums = jax.ops.segment_sum(vg, peptide_ids, num_segments=n_peptides)
+        counts = jax.ops.segment_sum(jnp.ones_like(vg), peptide_ids, num_segments=n_peptides)
+        return (sums / jnp.maximum(counts, 1))[peptide_ids]
+
     def _loss(self, trainables, key, condition, logr, batch_size, peptide_ids=None,
-              sample_from_prior: bool = False):
+              n_peptides: int = 1, sample_from_prior: bool = False):
         """Recomputes the trajectory under the same key so grads flow; returns RTB loss."""
         res = self.sampler.sample_fwd(
             key, trainables["lora"], condition, batch_size,
@@ -207,24 +222,13 @@ class RTBTrainer:
             sample_from_prior=sample_from_prior,
         )
         log_pf_ref = res["logpb"] if self.rtb.method == "tb" else res["logpf_prior"]
-        if self.rtb.vargrad:
-            vg = vargrad_logz(res["logpf_posterior"], log_pf_ref, logr)
-            if peptide_ids is not None:
-                # per-peptide logZ estimates for the conditional variant
-                # (src/rtb_utils/gfn_diffusion.py:440-453)
-                n = batch_size
-                ones = jnp.ones_like(vg)
-                sums = jax.ops.segment_sum(vg, peptide_ids, num_segments=n)
-                counts = jax.ops.segment_sum(ones, peptide_ids, num_segments=n)
-                logZ = (sums / jnp.maximum(counts, 1))[peptide_ids]
-            else:
-                logZ = jnp.mean(vg)
-        else:
-            logZ = trainables["logZ"]
+        logZ = self._logz_estimate(trainables, res["logpf_posterior"], log_pf_ref,
+                                   logr, peptide_ids, n_peptides)
         loss = rtb_loss(res["logpf_posterior"], logZ, log_pf_ref, logr, self.rtb.learning_cutoff)
         aux = {
             "loss_vec": loss,
             "logZ": jnp.mean(logZ),
+            "logZ_vec": logZ * jnp.ones_like(loss),
             "pf_divergence": jnp.mean(res["logpf_posterior"] - res["logpf_prior"]),
         }
         return jnp.mean(loss), aux
@@ -237,11 +241,27 @@ class RTBTrainer:
             lambda v: jnp.repeat(v, B // v.shape[0], axis=0) if v.shape[0] != B else v, tree
         )
 
+    @staticmethod
+    def _peptide_ids(batch: dict, B: int):
+        """(ids (B,), n_peptides) matching ``_replicate``'s repeat layout: a
+        dataset batch of n distinct peptides tiled to B gives B // n
+        consecutive elements per peptide (the conditional variant's grouping,
+        src/rtb_utils/gfn_diffusion.py:438-456)."""
+        names = batch.get("name")
+        n = len(names) if names is not None else 1
+        if n <= 1:
+            return None, 1
+        uniq = {}
+        base = np.asarray([uniq.setdefault(nm, len(uniq)) for nm in names])
+        return jnp.asarray(np.repeat(base, B // n)), len(uniq)
+
     def _fused_loss(self, trainables, key, condition, batch_rep, seqres, batch_size,
+                    peptide_ids=None, n_peptides: int = 1,
                     sample_from_prior: bool = False):
         """Single-pass variant for device-computable rewards: sampler + decode
         + reward + loss in one jit (the trajectory is sampled once, not
-        re-run for the gradient)."""
+        re-run for the gradient). ``seqres`` is (B, L): each element is
+        scored with its own sequence."""
         res = self.sampler.sample_fwd(
             key, trainables["lora"], condition, batch_size,
             detach_freq=self.rtb.detach_freq, detach_cut_off=self.rtb.detach_cut_off,
@@ -252,14 +272,13 @@ class RTBTrainer:
         )
         logr = jax.lax.stop_gradient(jnp.asarray(self.reward_fn(atom14, seqres)))
         log_pf_ref = res["logpb"] if self.rtb.method == "tb" else res["logpf_prior"]
-        if self.rtb.vargrad:
-            logZ = jnp.mean(vargrad_logz(res["logpf_posterior"], log_pf_ref, logr))
-        else:
-            logZ = trainables["logZ"]
+        logZ = self._logz_estimate(trainables, res["logpf_posterior"], log_pf_ref,
+                                   logr, peptide_ids, n_peptides)
         loss = rtb_loss(res["logpf_posterior"], logZ, log_pf_ref, logr, self.rtb.learning_cutoff)
         aux = {
             "loss_vec": loss,
             "logZ": jnp.mean(logZ),
+            "logZ_vec": logZ * jnp.ones_like(loss),
             "pf_divergence": jnp.mean(res["logpf_posterior"] - res["logpf_prior"]),
             "logr": logr,
             "x": res["x"],
@@ -325,6 +344,7 @@ class RTBTrainer:
         B = self.rtb.batch_size
         condition = self._replicate(condition, B)
         batch_rep = self._replicate({k: v for k, v in batch.items() if k != "name"}, B)
+        peptide_ids, n_peptides = self._peptide_ids(batch, B)
         trainables = {"lora": self.lora, "logZ": self.logZ}
 
         # ---- replay-buffer training draw (reference: it > batch_size gate) ----
@@ -352,7 +372,7 @@ class RTBTrainer:
             if self._bf_grad_jit is None:
                 self._bf_grad_jit = jax.jit(jax.value_and_grad(self._bf_loss, has_aux=True))
             (loss, aux), grads = self._bf_grad_jit(
-                trainables, k_sample, condition, batch_rep, batch["seqres"][0], self._last_x
+                trainables, k_sample, condition, batch_rep, batch_rep["seqres"], self._last_x
             )
             self._last_x = jax.lax.stop_gradient(aux["x"])
             return self._apply_update(trainables, grads, aux, loss, aux["logr"], None)
@@ -365,11 +385,12 @@ class RTBTrainer:
             if self._fused_grad_jit is None:
                 self._fused_grad_jit = jax.jit(
                     jax.value_and_grad(self._fused_loss, has_aux=True),
-                    static_argnames=("batch_size", "sample_from_prior"),
+                    static_argnames=("batch_size", "n_peptides", "sample_from_prior"),
                 )
             (loss, aux), grads = self._fused_grad_jit(
-                trainables, k_sample, condition, batch_rep, batch["seqres"][0],
-                batch_size=B, sample_from_prior=sample_from_prior,
+                trainables, k_sample, condition, batch_rep, batch_rep["seqres"],
+                batch_size=B, peptide_ids=peptide_ids, n_peptides=n_peptides,
+                sample_from_prior=sample_from_prior,
             )
             logr, zs0 = aux["logr"], aux["x"]
         else:
@@ -379,9 +400,10 @@ class RTBTrainer:
             )
             zs0 = res["x"]
             atom14, _ = self.prior_sim.sample(batch_rep, zs0)
-            logr = jnp.asarray(self.reward_fn(atom14, batch["seqres"][0]))
+            logr = jnp.asarray(self.reward_fn(atom14, batch_rep["seqres"]))
             (loss, aux), grads = self._grad_jit(
-                trainables, k_sample, condition, logr, B, sample_from_prior=sample_from_prior
+                trainables, k_sample, condition, logr, B, peptide_ids=peptide_ids,
+                n_peptides=n_peptides, sample_from_prior=sample_from_prior,
             )
         return self._apply_update(trainables, grads, aux, loss, logr, zs0)
 
@@ -472,7 +494,7 @@ class RTBBatchedTrainer(RTBTrainer):
             )
         res = self._traj_jit(self.lora, k_sample, condition)
         atom14, _ = self.prior_sim.sample(batch_rep, res["x"])
-        logr = jnp.asarray(self.reward_fn(atom14, batch["seqres"][0]))
+        logr = jnp.asarray(self.reward_fn(atom14, batch_rep["seqres"]))
 
         log_pf_ref = res["logpb"] if self.rtb.method == "tb" else res["logpf_prior"]
         correction = jax.lax.stop_gradient(

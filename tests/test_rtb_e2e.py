@@ -263,3 +263,55 @@ def test_train_posterior_cli_smoke(setup, tmp_path):
 
     m = _json.loads(log[-1])
     assert np.isfinite(m["loss"]) and np.isfinite(m["logr"])
+
+
+def test_conditional_multi_peptide_rtb(setup, tmp_path):
+    """True conditional RTB (VERDICT r2 next #5): one batch mixes >=2 distinct
+    peptides; VarGrad estimates one logZ PER PEPTIDE (constant within a
+    peptide's elements, different across peptides) and every element's reward
+    is scored with its OWN sequence (reference
+    src/rtb_utils/gfn_diffusion.py:438-456)."""
+    from mdgen_finetune_tpu.data.synthetic import make_synthetic_dataset
+
+    cfg = setup["cfg"]
+    d2 = str(tmp_path / "data2")
+    split2 = make_synthetic_dataset(d2, ["AGHK", "KHGA"], num_frames=64)
+    sim = MDGenSimulator(cfg, setup["params"], split2, data_dir=d2, batch_size=2,
+                         distinct_peptides=True)
+    reward = SurrogateReward(temperature=100.0)
+    rtb = RTBConfig(batch_size=4, sampling_length=3, num_train_timesteps=30,
+                    lora_rank=4, vargrad=True, learning_cutoff=0.0)
+    tr = RTBTrainer(cfg, rtb, sim, lambda a14, aat: reward(a14, aat), workdir=str(tmp_path))
+
+    condition, batch = sim.get_cond_args()
+    assert len(set(batch["name"])) == 2, "distinct_peptides must mix two peptides"
+    peptide_ids, n_peptides = tr._peptide_ids(batch, 4)
+    assert n_peptides == 2
+    np.testing.assert_array_equal(np.asarray(peptide_ids), [0, 0, 1, 1])
+
+    condition_rep = tr._replicate(condition, 4)
+    batch_rep = tr._replicate({k: v for k, v in batch.items() if k != "name"}, 4)
+    # per-element sequences really differ across the two peptides
+    assert not np.array_equal(np.asarray(batch_rep["seqres"][0]), np.asarray(batch_rep["seqres"][2]))
+
+    trainables = {"lora": tr.lora, "logZ": tr.logZ}
+    _, aux = tr._fused_loss(trainables, jax.random.key(0), condition_rep, batch_rep,
+                            batch_rep["seqres"], 4, peptide_ids=peptide_ids, n_peptides=2)
+    lz = np.asarray(aux["logZ_vec"])
+    logr = np.asarray(aux["logr"])
+    # logZ constant within a peptide, distinct across peptides
+    assert lz[0] == lz[1] and lz[2] == lz[3]
+    assert lz[0] != lz[2], "per-peptide logZ estimates must differ"
+    # per-element rewards: different peptides score differently
+    assert np.isfinite(logr).all()
+    assert logr[0] != logr[2], "rewards must be scored with each element's own sequence"
+
+    # a full conditional step trains
+    lora_before = jax.tree.map(lambda x: np.asarray(x).copy(), tr.lora)
+    m = tr.step(0, jax.random.key(1))
+    assert np.isfinite(m["loss"]) and np.isfinite(m["logr"])
+    moved = any(
+        not np.allclose(np.asarray(a["b"]), np.asarray(lora_before[k]["b"]))
+        for k, a in tr.lora.items()
+    )
+    assert moved
