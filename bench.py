@@ -68,8 +68,10 @@ def main():
     euler_chain(params, x).block_until_ready()  # compile
 
     # distinct inputs per call: the remote-execution relay caches results for
-    # repeated (executable, args) pairs, which would inflate the number
-    n_calls = 4
+    # repeated (executable, args) pairs, which would inflate the number.
+    # 8 pipelined calls amortize the single end sync (~25 ms tunnel RTT,
+    # PERF.md "relay measurement gotchas") to < 2% of the timed region.
+    n_calls = 8
     xs = [jnp.asarray(rng.normal(size=x.shape), jnp.float32) for _ in range(n_calls)]
     jax.block_until_ready(xs)  # uploads land before the timed region
     start = time.perf_counter()

@@ -106,6 +106,9 @@ class LatentMDGenLayer(nn.Module):
     cfg: MDGenConfig
     dtype: jnp.dtype = jnp.float32
     train: bool = False
+    padded: bool = False  # x arrives (B, Tp, L*C) frame-padded (parent's
+    # padded-trunk fast path; only valid when this layer takes the fused-op
+    # branch). A module attribute, not a call arg, so nn.remat never traces it.
 
     @nn.compact
     def __call__(self, x, t_emb, mask, frames: Optional[Rigid] = None):
@@ -114,8 +117,9 @@ class LatentMDGenLayer(nn.Module):
         sublanes on TPU, so the trunk NEVER computes in 4D — every LN /
         modulate / matmul runs on the flat (B, T*L, C) view and 4D shapes
         exist only between cancelling reshapes at the attention kernels."""
+        padded = self.padded
         B, T, L = mask.shape
-        C = x.shape[-1]
+        C = x.shape[-1] // L if padded else x.shape[-1]
         m = self.cfg.model
         mod = dense(9 * C, name="adaLN", kernel_init=zero_init, dtype=self.dtype)(nn.silu(t_emb))
         sh_l, sc_l, g_l, sh_t, sc_t, g_t, sh_m, sc_m, g_m = jnp.split(mod, 9, axis=-1)
@@ -128,6 +132,9 @@ class LatentMDGenLayer(nn.Module):
             )(ipa_in, Rigid(frames.rot[:, None], frames.trans[:, None]), frame_mask=mask, train=self.train)
             x = x4.reshape(B, T * L, C)
 
+        if padded:
+            assert not (m.interleave_ipa or m.hyena or m.no_rope
+                        or (m.dropout > 0.0 and self.train))
         if not (m.hyena or m.no_rope or (m.dropout > 0.0 and self.train)):
             # the WHOLE layer (residue attn -> frame attn -> MLP, each with
             # AdaLN modulate/gate) as one fused op: single Pallas kernel per
@@ -150,7 +157,7 @@ class LatentMDGenLayer(nn.Module):
                 w1.astype(dt), b1.astype(dt), w2.astype(dt), b2.astype(dt),
                 bias_kl.astype(dt), bias_vl.astype(dt),
                 bias_kt.astype(dt), bias_vt.astype(dt), mask,
-                num_heads=m.mha_heads, tl=(T, L),
+                num_heads=m.mha_heads, tl=(T, L), padded_io=padded,
             )
 
         # attention over residues, frames as batch
@@ -237,8 +244,11 @@ class LatentMDGen(nn.Module):
             ]
 
         layer_cls = nn.remat(LatentMDGenLayer) if m.grad_checkpointing else LatentMDGenLayer
+        self.fused_trunk = not (m.interleave_ipa or m.hyena or m.no_rope
+                                or (m.dropout > 0.0 and self.train))
         self.layers = [
-            layer_cls(cfg, dtype=self.dtype, train=self.train, name=f"layers_{i}")
+            layer_cls(cfg, dtype=self.dtype, train=self.train,
+                      padded=self.fused_trunk, name=f"layers_{i}")
             for i in range(m.num_layers)
         ]
 
@@ -329,9 +339,22 @@ class LatentMDGen(nn.Module):
         # (..., L, C) tensor, so every trunk op runs on the flat view; the
         # attention kernels' internal reshapes cancel against this one
         B, T, L, C = h.shape
-        h = h.reshape(B, T * L, C)
-        for layer in self.layers:
-            h = layer(h, t_emb, mask, start_frames)
+        if self.fused_trunk:
+            # padded-trunk fast path: the frame-pad to Tp (and its inverse
+            # slice) happens ONCE here instead of inside every fused layer,
+            # so the inter-layer (B, Tp, L*C) activations flow kernel to
+            # kernel with no pad/slice/reshape relayouts between them
+            Tp = -(-T // 8) * 8
+            h = h.reshape(B, T, L * C)
+            if Tp != T:
+                h = jnp.pad(h, ((0, 0), (0, Tp - T), (0, 0)))
+            for layer in self.layers:
+                h = layer(h, t_emb, mask, start_frames)
+            h = h[:, :T].reshape(B, T * L, C)
+        else:
+            h = h.reshape(B, T * L, C)
+            for layer in self.layers:
+                h = layer(h, t_emb, mask, start_frames)
 
         if not (task.dynamic_mpnn or task.mpnn):
             latent = self.emb_to_latent(h, t_emb).reshape(B, T, L, -1)

@@ -60,8 +60,6 @@ def _kernel(x_ref, mod_ref, wqkv_l_ref, bqkv_l_ref, wout_l_ref, bout_l_ref,
     dt = x_ref.dtype
 
     fh = fh_ref[...]  # (1, C)
-    S = s_ref[...]
-    St = st_ref[...]
 
     def rotate_half(x32):
         take_right = pltpu.roll(x32, C - half, 1)
@@ -75,13 +73,13 @@ def _kernel(x_ref, mod_ref, wqkv_l_ref, bqkv_l_ref, wout_l_ref, bout_l_ref,
         return (x32 * cos + rotate_half(x32) * sin).astype(x.dtype)
 
     # stage-2 tensors ride in a lane-PADDED head layout (Dp = 32 lanes per
-    # head when D = 24; identity otherwise): every grouped-stack matmul then
-    # runs on exact 128-lane tiles (W = 4*32 = 128, K = 128), which roughly
-    # doubles the MXU efficiency of the logits/PV products vs the 120-lane
-    # tiles of the compact layout (r3 device ablation: stage-2 core 0.30 ->
-    # target ~0.17 ms/layer at the bench shape). Pad lanes carry zeros (the
-    # padded rope tables have cos = sin = 0 there).
-    Dp = 32 if 128 % D else D
+    # head when D = 24; identity otherwise) so the grouped-stack matmuls run
+    # on exact 128-lane tiles. The "c" probe runs the COMPACT layout
+    # (Dp = D, even Gh-head groups) to measure the padding's projection-FLOP
+    # cost (the qkv_t / out_t matmuls grow Cp/C-fold with padding) against
+    # its core-tile alignment win. Pad lanes carry zeros (the padded rope
+    # tables have cos = sin = 0 there).
+    Dp = D if "c" in stages else (32 if 128 % D else D)
     Cp = H * Dp
     halfp = D // 2
     fht = fht_ref[...]  # (1, Cp)
@@ -123,43 +121,62 @@ def _kernel(x_ref, mod_ref, wqkv_l_ref, bqkv_l_ref, wout_l_ref, bout_l_ref,
     def blk(a, r):
         return a[r * Tp:(r + 1) * Tp]
 
+    S = s_ref[...]
+    St = st_ref[...]
+
     # ---- stage 1: residue attention over L, rows as batch ----
+    # Merged-over-i ("per-j") form. The r3 micro-op cost model
+    # (tools/micro_ops.py) showed the kernel is bound by DEPENDENT VPU-op
+    # chain latency at small shapes, while row-dim concats/tiles are ~free
+    # and (R, C)-sized elementwise ops run at VPU peak. So instead of L
+    # separate softmax/accumulate chains over (Tp, ...) tiles, each key j
+    # produces ONE (R, H) logit sheet (k_j row-tiled across the stacked
+    # query rows — free), giving a single max/exp/sum/divide chain and a
+    # single J-step accumulate chain at full R = L*Tp row parallelism.
     if "1" in stages:
         qkv = matmul(modln(X, 0), wqkv_l_ref, bqkv_l_ref).astype(dt)  # (R, 3C)
         if "a" not in stages:  # "a" ablates the attention core (perf probe)
-            qs = [rope_res(blk(qkv, r)[:, :C], r) for r in range(L)]
-            ks = [rope_res(blk(qkv, r)[:, C:2 * C], r) for r in range(L)]
+            if "r" in stages:  # perf probe: stage-1 rope cost
+                qs = [blk(qkv, r)[:, :C] for r in range(L)]
+                ks = [blk(qkv, r)[:, C:2 * C] for r in range(L)]
+            else:
+                qs = [rope_res(blk(qkv, r)[:, :C], r) for r in range(L)]
+                ks = [rope_res(blk(qkv, r)[:, C:2 * C], r) for r in range(L)]
             vs = [blk(qkv, r)[:, 2 * C:] for r in range(L)]
             ks.append(rope_res(jnp.broadcast_to(bkl_ref[...], (Tp, C)).astype(dt), L))
             vs.append(jnp.broadcast_to(bvl_ref[...], (Tp, C)).astype(dt))
+            q_all = jnp.concatenate(qs, axis=0)  # (R, C), i-major rows
 
             Sd = S.astype(dt)
             bias_l = bias_l_ref[0]  # (Tp, J)
-            accs = []
-            for i in range(L):
-                ls = []
-                for j in range(J):
-                    e = qs[i] * ks[j]
-                    l = jax.lax.dot_general(
-                        e, Sd, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-                    )
-                    ls.append(l + bias_l[:, j:j + 1])
-                m = ls[0]
-                for l in ls[1:]:
-                    m = jnp.maximum(m, l)
-                ps = [jnp.exp(l - m) for l in ls]
-                denom = ps[0]
-                for p in ps[1:]:
-                    denom = denom + p
-                inv = 1.0 / denom
-                acc = jnp.zeros((Tp, C), jnp.float32)
-                for j in range(J):
-                    p_exp = jax.lax.dot_general(
-                        ps[j] * inv, St, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-                    )
-                    acc = acc + p_exp * vs[j].astype(jnp.float32)
-                accs.append(acc.astype(dt))
-            att1 = jnp.concatenate(accs, axis=0)  # (R, C)
+            ls = []
+            for j in range(J):
+                k_t = jnp.concatenate([ks[j]] * L, axis=0)  # row-tile, ~free
+                # "M" perf probe: elementwise pair-product cost
+                e = q_all if "M" in stages else q_all * k_t
+                l = jax.lax.dot_general(
+                    e, Sd, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                )  # (R, H)
+                bias_j = jnp.concatenate([bias_l[:, j:j + 1]] * L, axis=0)  # (R, 1)
+                ls.append(l + bias_j)
+            m = ls[0]
+            for l in ls[1:]:
+                m = jnp.maximum(m, l)
+            # "X" perf probe: stage-1 exp cost
+            ps = [(l - m) if "X" in stages else jnp.exp(l - m) for l in ls]
+            denom = ps[0]
+            for p in ps[1:]:
+                denom = denom + p
+            inv = 1.0 / denom
+            acc = jnp.zeros((R, C), jnp.float32)
+            for j in range(J):
+                p_exp = jax.lax.dot_general(
+                    ps[j] * inv, St, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                )  # (R, C)
+                v_t = jnp.concatenate([vs[j]] * L, axis=0).astype(jnp.float32)
+                # "K" perf probe: stage-1 PV fma-accumulate cost
+                acc = p_exp if "K" in stages else acc + p_exp * v_t
+            att1 = acc.astype(dt)  # (R, C)
         else:
             att1 = qkv[:, 2 * C:]
         X1 = (X.astype(jnp.float32) + gatev(2) * matmul(att1, wout_l_ref, bout_l_ref)).astype(dt)
@@ -167,23 +184,37 @@ def _kernel(x_ref, mod_ref, wqkv_l_ref, bqkv_l_ref, wout_l_ref, bout_l_ref,
         X1 = X
 
     # ---- stage 2: frame attention over Tp, residues independent ----
+    # Grouped-stack core per residue (ops/residue... see _grouped_attend);
+    # RoPE runs once over all L*Tp stacked rows instead of per residue
+    # (r3: merging the per-(r, g) softmax chains measured slower — the
+    # grouped core's softmax surface is already the right granularity).
     if "2" in stages:
         qkv = matmul(modln(X1, 3), wqkv_t_ref, bqkv_t_ref).astype(dt)  # (R, 3Cp)
         if "a" not in stages:
             bk_blk = rope_t(jnp.broadcast_to(bkt_ref[...], (8, Cp)).astype(dt), Tp, 8)
             bv_blk = jnp.broadcast_to(bvt_ref[...], (8, Cp)).astype(dt)
+            if "R" in stages:  # perf probe: rope ablated
+                q_all, k_all = qkv[:, :Cp], qkv[:, Cp:2 * Cp]
+            else:
+                cos_rows = jnp.concatenate([cost_ref[0:Tp]] * L, axis=0).astype(jnp.float32)
+                sin_rows = jnp.concatenate([sint_ref[0:Tp]] * L, axis=0).astype(jnp.float32)
+
+                def rope_rows(x):
+                    x32 = x.astype(jnp.float32)
+                    return (x32 * cos_rows + rotate_half_t(x32) * sin_rows).astype(x.dtype)
+
+                q_all = rope_rows(qkv[:, :Cp])
+                k_all = rope_rows(qkv[:, Cp:2 * Cp])
+            kbTs, vbs = [], []
+            for r in range(L):
+                kb_r = jnp.concatenate([k_all[r * Tp:(r + 1) * Tp], bk_blk], axis=0)
+                kbTs.append(kb_r.T)  # (Cp, TKt)
+                vbs.append(jnp.concatenate([blk(qkv, r)[:, 2 * Cp:], bv_blk], axis=0))
             atts = []
             for r in range(L):
-                qkv_r = blk(qkv, r)
-                if "R" in stages:  # perf probe: rope ablated
-                    q_r, k_r = qkv_r[:, :Cp], qkv_r[:, Cp:2 * Cp]
-                else:
-                    q_r = rope_t(qkv_r[:, :Cp], 0, Tp)
-                    k_r = rope_t(qkv_r[:, Cp:2 * Cp], 0, Tp)
-                kb_r = jnp.concatenate([k_r, bk_blk], axis=0)
-                vb_r = jnp.concatenate([qkv_r[:, 2 * Cp:], bv_blk], axis=0)
-                att = _grouped_attend(q_r, kb_r.T, vb_r, bias_t_ref[0, r:r + 1, :], H, Dp,
-                                      probes=stages)
+                att = _grouped_attend(
+                    q_all[r * Tp:(r + 1) * Tp], kbTs[r], vbs[r],
+                    bias_t_ref[0, r:r + 1, :], H, Dp, probes=stages)
                 atts.append(att.astype(dt))
             att2 = jnp.concatenate(atts, axis=0)  # (R, Cp)
         else:
@@ -206,21 +237,32 @@ def _kernel(x_ref, mod_ref, wqkv_l_ref, bqkv_l_ref, wout_l_ref, bout_l_ref,
         o_ref[0, :, r * C:(r + 1) * C] = blk(OUT, r).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "T", "L", "interpret", "stages"))
+@functools.partial(jax.jit, static_argnames=("num_heads", "T", "L", "interpret", "stages",
+                                             "padded_io"))
 def _pallas_fwd(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_t, bout_t,
                 w1, b1, w2, b2, bkl, bvl, bkt, bvt, mask,
                 num_heads: int, T: int, L: int, interpret: bool = False,
-                stages: str = "123"):
-    B, N, C = x.shape
+                stages: str = "123", padded_io: bool = False):
+    """``padded_io``: x arrives (B, Tp, L*C) already frame-padded and the
+    result is returned in the same layout — the caller keeps the WHOLE trunk
+    padded so the per-layer pad/slice (which blocks XLA from cancelling the
+    (B, T*L, C) <-> (B, T, L*C) boundary relayouts) happens once per
+    forward, not once per layer."""
+    if padded_io:
+        B, _, LC = x.shape
+        C = LC // L
+    else:
+        B, N, C = x.shape
     D = C // num_heads
     F = w1.shape[1]
     J = L + 1
     Tp = -(-T // 8) * 8
     TKt = Tp + 8
 
-    x = x.reshape(B, T, L * C)
-    if Tp != T:
-        x = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
+    if not padded_io:
+        x = x.reshape(B, T, L * C)
+        if Tp != T:
+            x = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
 
     # residue-attention additive bias (B, Tp, J): mask (B, T, L) keys + the
     # always-attendable bias token
@@ -240,7 +282,7 @@ def _pallas_fwd(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_t, 
 
     # stage-2 lane-padded head layout (see _kernel): Dp = 32 when D = 24
     H = num_heads
-    Dp = 32 if 128 % D else D
+    Dp = D if "c" in stages else (32 if 128 % D else D)
     Cp = H * Dp
 
     def dpad(a, part_shape, axis):
@@ -322,6 +364,8 @@ def _pallas_fwd(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_t, 
       bkl.reshape(1, C).astype(x.dtype), bvl.reshape(1, C).astype(x.dtype),
       bkt_p.astype(x.dtype), bvt_p.astype(x.dtype),
       bias_l, bias_t, cosr, sinr, cost, sint, fh, fht, S, S.T)
+    if padded_io:
+        return out
     return out[:, :T].reshape(B, T * L, C)
 
 
@@ -388,23 +432,48 @@ def _layer_kernels(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_
     return adaln_mlp(x, sh_m, sc_m, g_m, w1, b1, w2, b2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(19, 20, 21, 22))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(19, 20, 21, 22, 23))
 def _fused_layer_pallas(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t,
                         wout_t, bout_t, w1, b1, w2, b2, bkl, bvl, bkt, bvt, mask,
-                        num_heads, T, L, interpret=False):
+                        num_heads, T, L, interpret=False, padded_io=False):
     return _pallas_fwd(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t,
                        wout_t, bout_t, w1, b1, w2, b2, bkl, bvl, bkt, bvt, mask,
-                       num_heads, T, L, interpret=interpret)
+                       num_heads, T, L, interpret=interpret, padded_io=padded_io)
 
 
 def _fl_fwd(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_t, bout_t,
-            w1, b1, w2, b2, bkl, bvl, bkt, bvt, mask, num_heads, T, L, interpret):
+            w1, b1, w2, b2, bkl, bvl, bkt, bvt, mask, num_heads, T, L, interpret,
+            padded_io):
     res = (x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_t, bout_t,
            w1, b1, w2, b2, bkl, bvl, bkt, bvt, mask)
-    return _pallas_fwd(*res, num_heads, T, L, interpret=interpret), res
+    return _pallas_fwd(*res, num_heads, T, L, interpret=interpret,
+                       padded_io=padded_io), res
 
 
-def _fl_bwd(num_heads, T, L, interpret, res, grad):
+def _unpad_trunk(x, T, L, C):
+    B = x.shape[0]
+    return x[:, :T].reshape(B, T * L, C)
+
+
+def _pad_trunk(x_flat, T, L, C):
+    B = x_flat.shape[0]
+    Tp = -(-T // 8) * 8
+    x = x_flat.reshape(B, T, L * C)
+    return jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0))) if Tp != T else x
+
+
+def _fl_bwd(num_heads, T, L, interpret, padded_io, res, grad):
+    if padded_io:
+        x_p, rest = res[0], res[1:]
+        C = x_p.shape[2] // L
+
+        def f(x_flat, *a):
+            out = _layer_xla(x_flat, *a, num_heads, T, L)
+            return _pad_trunk(out, T, L, C)
+
+        _, vjp = jax.vjp(f, _unpad_trunk(x_p, T, L, C), *rest)
+        grads = vjp(grad)
+        return (_pad_trunk(grads[0], T, L, C),) + grads[1:18] + (None,)
     _, vjp = jax.vjp(lambda *a: _layer_xla(*a, num_heads, T, L), *res)
     grads = vjp(grad)
     return grads[:18] + (None,)
@@ -416,8 +485,10 @@ _fused_layer_pallas.defvjp(_fl_fwd, _fl_bwd)
 def fused_layer(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_t,
                 bout_t, w1, b1, w2, b2, bkl, bvl, bkt, bvt, mask, *,
                 num_heads: int, tl: tuple, force_xla: bool = False,
-                force_pallas: bool = False):
-    """The whole LatentMDGenLayer as one op. x (B, T*L, C) raw; mod (B, 9C)
+                force_pallas: bool = False, padded_io: bool = False):
+    """The whole LatentMDGenLayer as one op. x (B, T*L, C) raw — or
+    (B, Tp, L*C) frame-padded when ``padded_io`` (the padded-trunk fast path:
+    the caller pads once per forward instead of once per layer); mod (B, 9C)
     AdaLN output (pre-split); wqkv_* (C, 3C) with the query scale folded into
     the q columns; mask (B, T, L) with 1 = valid."""
     import os
@@ -425,7 +496,8 @@ def fused_layer(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_t,
     from ..parallel.kernel_sharding import get_kernel_mesh, shard_map_batch0
 
     T, L = tl
-    B, N, C = x.shape
+    B = x.shape[0]
+    C = x.shape[2] // L if padded_io else x.shape[2]
     env = os.environ.get("MDGEN_FUSED_LAYER", "")
     force_xla = force_xla or env == "xla"
     force_pallas = force_pallas or env == "pallas"
@@ -435,11 +507,19 @@ def fused_layer(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_t,
     )
     args = (x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_t, bout_t,
             w1, b1, w2, b2, bkl, bvl, bkt, bvt, mask)
+
+    def xla_path(*a):
+        # fallback paths run on the flat trunk; un/re-pad at the boundary
+        if padded_io:
+            flat = _layer_xla(_unpad_trunk(a[0], T, L, C), *a[1:], num_heads, T, L)
+            return _pad_trunk(flat, T, L, C)
+        return _layer_xla(*a, num_heads, T, L)
+
     if use_pallas:
         interp = jax.default_backend() != "tpu"
 
         def local(*a):
-            return _fused_layer_pallas(*a, num_heads, T, L, interp)
+            return _fused_layer_pallas(*a, num_heads, T, L, interp, padded_io)
 
         # x/mod/mask batched over dim 0; all weights + bias-KV replicated
         batched = (True, True) + (False,) * 16 + (True,)
@@ -448,10 +528,10 @@ def fused_layer(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_t,
             if out is not None:
                 return out
             if not force_pallas:
-                return _layer_xla(*args, num_heads, T, L)
+                return xla_path(*args)
         return local(*args)
-    if jax.default_backend() == "tpu" and not force_xla:
+    if jax.default_backend() == "tpu" and not force_xla and not padded_io:
         # whole-layer kernel ineligible (long T / large L): modular
         # composition with per-stage kernels
         return _layer_kernels(*args, num_heads, T, L)
-    return _layer_xla(*args, num_heads, T, L)
+    return xla_path(*args)

@@ -78,9 +78,18 @@ def _grouped_attend(q_r, kbT_r, vb_r, bias, H, D, probes: str = ""):
     every matmul a single-K-tile MXU op. Returns (R, C) f32. ``probes`` is a
     perf-ablation switch (fused_layer stage probes): "V" skips the logits/
     softmax (uniform p), "P" skips the PV product, "Q" skips the QS stacking
-    (single unmasked matmul, wrong-but-shaped logits)."""
+    (single unmasked matmul, wrong-but-shaped logits).
+
+    r3 measurement notes (tools/micro_ops.py + stage probes): the kernel is
+    bound by VMEM traffic and dependent-chain latency, not dot count — MXU
+    dots at these shapes run near peak; a stacking-free per-head variant
+    (64 small chains) measured ~2x slower, and a softmax-merged-across-
+    residues variant also lost. The surviving wins are bf16 unnormalized p
+    with the division deferred past the PV dot."""
     R, C = q_r.shape
     Gh = max(1, 128 // D)
+    while Gh > 1 and H % Gh:
+        Gh -= 1  # even groups: a ragged tail group costs more than 128-W lanes
     TK = kbT_r.shape[1]
     outs = []
     h0 = 0
@@ -93,7 +102,8 @@ def _grouped_attend(q_r, kbT_r, vb_r, bias, H, D, probes: str = ""):
         vb_rg = vb_r[:, lo:lo + W]
         masks = _group_masks(D, gh, q_rg.dtype)  # (gh, 1, W)
         if "V" in probes:
-            p = jnp.full((gh * R, TK), 1.0 / TK, jnp.float32)
+            p = jnp.full((gh * R, TK), 1.0 / TK, q_rg.dtype)
+            inv = 1.0
         else:
             if "Q" in probes:
                 qs = jnp.broadcast_to(q_rg[None], (gh, R, W)).reshape(gh * R, W)
@@ -105,19 +115,31 @@ def _grouped_attend(q_r, kbT_r, vb_r, bias, H, D, probes: str = ""):
             logits = jax.lax.dot_general(
                 qs, kbT_rg, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
             )  # (gh*R, TK)
-            logits = logits + bias
+            if "b" in probes:  # perf probe: bf16 softmax traffic
+                logits = logits.astype(qs.dtype)
+            logits = logits + bias.astype(logits.dtype)
             m = jnp.max(logits, axis=1, keepdims=True)
-            p = jnp.exp(logits - m)
-            p = p / jnp.sum(p, axis=1, keepdims=True)
+            if "E" in probes:  # perf probe: exp cost (wrong values, same shapes)
+                p = (logits - m).astype(q_rg.dtype)
+            else:
+                # unnormalized bf16 p: exp writes bf16 directly and the
+                # softmax division is deferred past the PV dot, where the
+                # divided surface is W lanes instead of TK (r3 VMEM-traffic
+                # reduction; the denominator is summed from the bf16 p)
+                p = jnp.exp(logits - m).astype(q_rg.dtype)
+            inv = 1.0 / jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
         if "P" in probes:
-            outs.append(q_rg.astype(jnp.float32) + p[:R, :1] * 0.0)
+            outs.append(q_rg.astype(jnp.float32) + p[:R, :1].astype(jnp.float32) * 0.0)
             h0 += gh
             continue
         pv = jax.lax.dot_general(
-            p.astype(vb_rg.dtype), vb_rg, (((1,), (0,)), ((), ())),
+            p, vb_rg, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (gh*R, W)
-        outs.append(jnp.sum(pv.reshape(gh, R, W) * masks.astype(jnp.float32), axis=0))
+        ) * inv  # (gh*R, W)
+        if "F" in probes:  # perf probe: masked head-collapse cost
+            outs.append(pv[:R])
+        else:
+            outs.append(jnp.sum(pv.reshape(gh, R, W) * masks.astype(jnp.float32), axis=0))
         h0 += gh
     return jnp.concatenate(outs, axis=1)  # (R, C) f32
 
