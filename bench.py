@@ -45,7 +45,9 @@ def main():
         x_cond=x_cond, x_cond_mask=x_cond_mask, aatype=aatype,
     )
 
-    N_STEPS = 8
+    N_STEPS = 100  # the flagship 4AA config's inference-step count (suffix
+    # _i100, reference README.md:50-56) — the product samples with 100
+    # dependent denoiser steps per trajectory
 
     @jax.jit
     def euler_chain(params, x0):
@@ -69,9 +71,9 @@ def main():
 
     # distinct inputs per call: the remote-execution relay caches results for
     # repeated (executable, args) pairs, which would inflate the number.
-    # 8 pipelined calls amortize the single end sync (~25 ms tunnel RTT,
+    # Pipelined calls amortize the single end sync (~25 ms tunnel RTT,
     # PERF.md "relay measurement gotchas") to < 2% of the timed region.
-    n_calls = 8
+    n_calls = 2
     xs = [jnp.asarray(rng.normal(size=x.shape), jnp.float32) for _ in range(n_calls)]
     jax.block_until_ready(xs)  # uploads land before the timed region
     start = time.perf_counter()
@@ -80,16 +82,67 @@ def main():
     elapsed = time.perf_counter() - start
 
     steps_per_sec = B * n_calls * N_STEPS / elapsed
+
+    atlas_ms = _atlas_forward_ms()
     print(
         json.dumps(
             {
-                "metric": "denoiser steps/sec/chip (4AA crop-4, T=100, bf16, B=32)",
+                "metric": "denoiser steps/sec/chip (4AA crop-4, T=100, bf16, B=32, 100-step chain)",
                 "value": round(steps_per_sec, 1),
                 "unit": "steps/sec/chip",
                 "vs_baseline": round(steps_per_sec / BASELINE, 3),
+                "atlas_fwd_ms": round(atlas_ms, 2),
+                "atlas_steps_per_sec": round(1000.0 / atlas_ms, 1),
             }
         )
     )
+
+
+def _atlas_forward_ms():
+    """Secondary tracked metric (BASELINE.md): ATLAS crop-256 forward,
+    T=250, B=1 — the reference's monomer config (README.md:90-98)."""
+    B, T, L = 1, 250, 256
+    cfg = MDGenConfig(
+        model=ModelConfig(prepend_ipa=True, abs_pos_emb=True, use_bf16=True),
+        data=DataConfig(num_frames=T, crop=L),
+        task=TaskConfig(sim_condition=True),
+    )
+    model = LatentMDGen(cfg, cfg.latent_dim, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(B, T, L, cfg.latent_dim)), jnp.float32)
+    t = jnp.asarray(rng.uniform(0.1, 0.9, size=(B,)), jnp.float32)
+    mask = jnp.ones((B, T, L), jnp.float32)
+    frames = Rigid.identity((B, L))
+    aatype = jnp.asarray(rng.integers(0, 20, size=(B, L)), jnp.int32)
+    x_cond = jnp.zeros_like(x)
+    x_cond_mask = jnp.zeros((B, T, L), jnp.int32)
+
+    params = jax.jit(model.init)(
+        jax.random.key(0), x, t, mask, start_frames=frames, end_frames=frames,
+        x_cond=x_cond, x_cond_mask=x_cond_mask, aatype=aatype,
+    )
+    n_steps, n_calls = 10, 2
+
+    @jax.jit
+    def chain(params, x0):
+        def step(xc, tk):
+            v = model.apply(
+                params, xc, tk, mask, start_frames=frames, end_frames=frames,
+                x_cond=x_cond, x_cond_mask=x_cond_mask, aatype=aatype,
+            )
+            return xc + (1.0 / n_steps) * v.astype(xc.dtype), ()
+
+        ts = jnp.linspace(0.05, 0.95, n_steps)[:, None] * jnp.ones((1, B), jnp.float32)
+        xT, _ = jax.lax.scan(step, x0, ts)
+        return xT
+
+    chain(params, x).block_until_ready()
+    xs = [jnp.asarray(rng.normal(size=x.shape), jnp.float32) for _ in range(n_calls)]
+    jax.block_until_ready(xs)
+    start = time.perf_counter()
+    outs = [chain(params, xs[i]) for i in range(n_calls)]
+    jax.block_until_ready(outs)
+    return 1000.0 * (time.perf_counter() - start) / (n_calls * n_steps)
 
 
 if __name__ == "__main__":
