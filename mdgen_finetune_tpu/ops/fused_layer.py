@@ -41,7 +41,7 @@ def _kernel(x_ref, mod_ref, wqkv_l_ref, bqkv_l_ref, wout_l_ref, bout_l_ref,
             bkl_ref, bvl_ref, bkt_ref, bvt_ref,
             bias_l_ref, bias_t_ref,
             cosr_ref, sinr_ref, cost_ref, sint_ref, fh_ref, fht_ref, s_ref, st_ref,
-            o_ref, *, num_heads: int, head_dim: int, channels: int,
+            o_ref, *res_refs, num_heads: int, head_dim: int, channels: int,
             stages: str = "123"):
     """Row-stacked layout: the (Tp, L*C) input is restacked ONCE to
     (L*Tp, C) so every projection / out-proj / MLP matmul runs as a single
@@ -232,17 +232,26 @@ def _kernel(x_ref, mod_ref, wqkv_l_ref, bqkv_l_ref, wout_l_ref, bout_l_ref,
     else:
         OUT = X2.astype(jnp.float32)
 
+    # stage-input residuals for the fused Pallas backward (stacked layout,
+    # ops/fused_layer_bwd.py): X1 feeds the frame-attention backward, X2 the
+    # MLP backward; stage 1 recomputes from the saved kernel input itself
+    if res_refs:
+        x1_ref, x2_ref = res_refs
+        x1_ref[0] = X1
+        x2_ref[0] = X2.astype(x2_ref.dtype)
+
     # unstack rows -> lanes
     for r in range(L):
         o_ref[0, :, r * C:(r + 1) * C] = blk(OUT, r).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "T", "L", "interpret", "stages",
-                                             "padded_io"))
+                                             "padded_io", "save_residuals"))
 def _pallas_fwd(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_t, bout_t,
                 w1, b1, w2, b2, bkl, bvl, bkt, bvt, mask,
                 num_heads: int, T: int, L: int, interpret: bool = False,
-                stages: str = "123", padded_io: bool = False):
+                stages: str = "123", padded_io: bool = False,
+                save_residuals: bool = False):
     """``padded_io``: x arrives (B, Tp, L*C) already frame-padded and the
     result is returned in the same layout — the caller keeps the WHOLE trunk
     padded so the per-layer pad/slice (which blocks XLA from cancelling the
@@ -320,6 +329,15 @@ def _pallas_fwd(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_t, 
     fht = jnp.asarray(fht_np, jnp.float32).reshape(1, Cp)
     S = jnp.asarray(s_np, jnp.float32)
 
+    Tp_rows = L * Tp
+    out_specs = pl.BlockSpec((1, Tp, L * C), lambda b: (b, 0, 0))
+    out_shape = jax.ShapeDtypeStruct((B, Tp, L * C), x.dtype)
+    if save_residuals:
+        res_spec = pl.BlockSpec((1, Tp_rows, C), lambda b: (b, 0, 0))
+        res_shape = jax.ShapeDtypeStruct((B, Tp_rows, C), x.dtype)
+        out_specs = [out_specs, res_spec, res_spec]
+        out_shape = [out_shape, res_shape, res_shape]
+
     out = pl.pallas_call(
         functools.partial(_kernel, num_heads=num_heads, head_dim=D, channels=C,
                           stages=stages),
@@ -354,8 +372,8 @@ def _pallas_fwd(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_t, 
             pl.BlockSpec((C, num_heads), lambda b: (0, 0)),
             pl.BlockSpec((num_heads, C), lambda b: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, Tp, L * C), lambda b: (b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, Tp, L * C), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(x, mod.reshape(B, 9, C),
       wqkv_l, bqkv_l.reshape(1, 3 * C), wout_l, bout_l.reshape(1, C),
@@ -364,6 +382,11 @@ def _pallas_fwd(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_t, 
       bkl.reshape(1, C).astype(x.dtype), bvl.reshape(1, C).astype(x.dtype),
       bkt_p.astype(x.dtype), bvt_p.astype(x.dtype),
       bias_l, bias_t, cosr, sinr, cost, sint, fh, fht, S, S.T)
+    if save_residuals:
+        out, x1s, x2s = out
+        if not padded_io:
+            out = out[:, :T].reshape(B, T * L, C)
+        return out, x1s, x2s
     if padded_io:
         return out
     return out[:, :T].reshape(B, T * L, C)
@@ -444,10 +467,11 @@ def _fused_layer_pallas(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t,
 def _fl_fwd(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_t, bout_t,
             w1, b1, w2, b2, bkl, bvl, bkt, bvt, mask, num_heads, T, L, interpret,
             padded_io):
-    res = (x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_t, bout_t,
-           w1, b1, w2, b2, bkl, bvl, bkt, bvt, mask)
-    return _pallas_fwd(*res, num_heads, T, L, interpret=interpret,
-                       padded_io=padded_io), res
+    args = (x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_t, bout_t,
+            w1, b1, w2, b2, bkl, bvl, bkt, bvt, mask)
+    out, x1s, x2s = _pallas_fwd(*args, num_heads, T, L, interpret=interpret,
+                                padded_io=padded_io, save_residuals=True)
+    return out, (args, x1s, x2s)
 
 
 def _unpad_trunk(x, T, L, C):
@@ -463,8 +487,28 @@ def _pad_trunk(x_flat, T, L, C):
 
 
 def _fl_bwd(num_heads, T, L, interpret, padded_io, res, grad):
+    import os
+
+    from .fused_layer_bwd import fused_layer_bwd
+
+    args, x1s, x2s = res
+    if os.environ.get("MDGEN_FUSED_BWD", "") != "xla":
+        # fused Pallas backward (ops/fused_layer_bwd.py): three stage
+        # kernels rematerialize the forward from (x, X1, X2) and accumulate
+        # f32 weight grads across the batch grid
+        x = args[0]
+        C = x.shape[2] // L if padded_io else x.shape[2]
+        xp = x if padded_io else _pad_trunk(x, T, L, C)
+        gp = grad if padded_io else _pad_trunk(grad, T, L, C)
+        grads = fused_layer_bwd(xp, *args[1:], x1s, x2s, gp,
+                                num_heads=num_heads, T=T, L=L,
+                                interpret=interpret)
+        dx = grads[0] if padded_io else _unpad_trunk(grads[0], T, L, C)
+        return (dx,) + grads[1:] + (None,)
+
+    # XLA-composition fallback (MDGEN_FUSED_BWD=xla A/B escape hatch)
     if padded_io:
-        x_p, rest = res[0], res[1:]
+        x_p, rest = args[0], args[1:]
         C = x_p.shape[2] // L
 
         def f(x_flat, *a):
@@ -474,7 +518,7 @@ def _fl_bwd(num_heads, T, L, interpret, padded_io, res, grad):
         _, vjp = jax.vjp(f, _unpad_trunk(x_p, T, L, C), *rest)
         grads = vjp(grad)
         return (_pad_trunk(grads[0], T, L, C),) + grads[1:18] + (None,)
-    _, vjp = jax.vjp(lambda *a: _layer_xla(*a, num_heads, T, L), *res)
+    _, vjp = jax.vjp(lambda *a: _layer_xla(*a, num_heads, T, L), *args)
     grads = vjp(grad)
     return grads[:18] + (None,)
 
@@ -530,8 +574,13 @@ def fused_layer(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_t,
             if not force_pallas:
                 return xla_path(*args)
         return local(*args)
-    if jax.default_backend() == "tpu" and not force_xla and not padded_io:
+    if jax.default_backend() == "tpu" and not force_xla:
         # whole-layer kernel ineligible (long T / large L): modular
-        # composition with per-stage kernels
+        # composition with per-stage kernels; the padded trunk un/re-pads at
+        # the boundary (r3 fix: padded_io previously fell through to the XLA
+        # path here, reverting ATLAS/T=1000 to no kernels at all)
+        if padded_io:
+            flat = _layer_kernels(_unpad_trunk(x, T, L, C), *args[1:], num_heads, T, L)
+            return _pad_trunk(flat, T, L, C)
         return _layer_kernels(*args, num_heads, T, L)
     return xla_path(*args)

@@ -1,0 +1,641 @@
+"""Hand-fused Pallas backward for the whole-layer kernel (ops/fused_layer.py).
+
+The r2 whole-layer forward kernel fused the entire LatentMDGenLayer
+(reference hot loop src/mdgen/model/latent_model.py:456-493) but its VJP fell
+back to the XLA composition, so training got none of the fusion win
+(VERDICT r2 weak #4). This module is the backward: three Pallas kernels —
+one per stage, run MLP -> frame attention -> residue attention — each of
+which
+
+- RECOMPUTES its stage's forward intermediates from the saved stage input
+  (X2 / X1 / X, flash-style rematerialisation: nothing but the three stage
+  inputs is saved from the forward, and each stage's weights fit VMEM only
+  one stage at a time, which is why this is three kernels and not one);
+- computes the data gradients (dX, dmod rows) per batch element; and
+- ACCUMULATES the weight gradients in f32 across the sequential TPU batch
+  grid (out blocks with grid-invariant index maps: program b == 0
+  initialises, later programs add — the TPU grid is sequential per core, so
+  this is a race-free running sum).
+
+Activations between stages stay in the forward kernel's row-stacked
+(R = L*Tp, C) layout; the frame-pad rows carry zero upstream gradient (the
+caller's unpad slice) and stay zero through every stage (attention masks pad
+keys, all other ops are row-local), so they never contaminate the weight
+sums.
+
+Gradient math worth writing down (everything else is the standard chain
+rule):
+
+- RoPE transpose: y = x*cos + rot(x)*sin with rot the masked lane-roll pair
+  (forward kernel). The adjoint is dx = dy*cos + rotT(dy*sin) with
+  rotT(g) = -roll(g*fh, half) + roll(g*(1-fh), C-half) — on the lane-padded
+  stage-2 layout rotT is NOT -rot (rot smears real lanes into pad lanes;
+  rotT keeps pad-lane gradients exactly zero).
+- Head-summed logits (stage 1): l_j = (q ⊙ k_j) @ S. Adjoint:
+  d(q ⊙ k_j) = dl_j @ S^T, so dq += (dl_j @ S^T) ⊙ k_j and
+  dk_j = sum_i block_i((dl_j @ S^T) ⊙ q).
+- Grouped-stack attention (stage 2): per head group, qs = stack_h(q ⊙
+  mask_h); logits = qs @ kbT; pn = softmax. dvb = pn^T @ dpv,
+  dpn = dpv @ vb^T, dlogits = pn ⊙ (dpn - rowsum(pn ⊙ dpn)),
+  dkb = dlogits^T @ qs, dq = sum_h (dlogits @ kb) ⊙ mask_h.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .adaln_mlp import _erf
+from .residue_attention import _tables_np as _res_tables_np
+from .time_attention import _group_masks
+from .time_attention import _rope_tables_np as _time_tables_np
+
+_NEG_INF = -1e9
+_LN_EPS = 1e-6
+_INV_SQRT2 = 2.0 ** -0.5
+_INV_SQRT_2PI = float(1.0 / np.sqrt(2.0 * np.pi))
+
+
+# ---------------------------------------------------------------------------
+# shared in-kernel pieces
+# ---------------------------------------------------------------------------
+
+def _modln_fwd(xs, mod_ref, j, dt):
+    """Recompute LN + modulate over stacked rows; returns (h bf16, h_hat f32,
+    rstd f32, sc f32) — everything the backward needs."""
+    x32 = xs.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=1, keepdims=True)
+    var = jnp.mean(x32 * x32, axis=1, keepdims=True) - mean * mean
+    rstd = jax.lax.rsqrt(var + _LN_EPS)
+    h_hat = (x32 - mean) * rstd
+    sh = mod_ref[0, j:j + 1, :].astype(jnp.float32)
+    sc = mod_ref[0, j + 1:j + 2, :].astype(jnp.float32)
+    return (h_hat * (1.0 + sc) + sh).astype(dt), h_hat, rstd, sc
+
+
+def _modln_bwd(dh, h_hat, rstd, sc):
+    """Adjoint of LN + modulate. dh (R, C) f32 -> (dx f32, dsh (1, C),
+    dsc (1, C))."""
+    dsh = jnp.sum(dh, axis=0, keepdims=True)
+    dsc = jnp.sum(dh * h_hat, axis=0, keepdims=True)
+    dhh = dh * (1.0 + sc)
+    C = dh.shape[1]
+    m1 = jnp.sum(dhh, axis=1, keepdims=True) * (1.0 / C)
+    m2 = jnp.sum(dhh * h_hat, axis=1, keepdims=True) * (1.0 / C)
+    dx = rstd * (dhh - m1 - h_hat * m2)
+    return dx, dsh, dsc
+
+
+def _mm(a, b, ca, cb):
+    return jax.lax.dot_general(a, b, (((ca,), (cb,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _acc(ref, val, first):
+    @pl.when(first)
+    def _():
+        ref[...] = val
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        ref[...] = ref[...] + val
+
+
+def _restack(x, L, C):
+    """(Tp, L*C) lanes -> (L*Tp, C) rows."""
+    return jnp.concatenate([x[:, r * C:(r + 1) * C] for r in range(L)], axis=0)
+
+
+def _rot_t(g, fh, half, C):
+    """Adjoint of the forward kernels' rotate-half: rotT(g) =
+    -roll(g*fh, half) + roll(g*(1-fh), C-half)."""
+    return -pltpu.roll(g * fh, half, 1) + pltpu.roll(g * (1.0 - fh), C - half, 1)
+
+
+# ---------------------------------------------------------------------------
+# stage 3 (MLP) backward kernel
+# ---------------------------------------------------------------------------
+
+def _k3(x2_ref, dout_ref, mod_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+        dx2_ref, dmod_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, *,
+        channels: int):
+    C = channels
+    Tp, LC = dout_ref.shape[1], dout_ref.shape[2]
+    L = LC // C
+    dt = x2_ref.dtype
+    first = pl.program_id(0) == 0
+
+    X2 = x2_ref[0]                                   # (R, C) stacked
+    dOUT = _restack(dout_ref[0], L, C).astype(jnp.float32)  # (R, C)
+
+    h3, hh, rstd, sc = _modln_fwd(X2, mod_ref, 6, dt)
+    a = _mm(h3, w1_ref[...], 1, 0) + b1_ref[...].astype(jnp.float32)  # (R, F) f32
+    phi_c = 0.5 * (1.0 + _erf(a * _INV_SQRT2))       # Φ(a)
+    ge = (a * phi_c).astype(dt)                      # gelu, bf16 for the dot
+    y = _mm(ge, w2_ref[...], 1, 0) + b2_ref[...].astype(jnp.float32)  # (R, C)
+
+    g8 = mod_ref[0, 8:9, :].astype(jnp.float32)
+    dg = jnp.sum(dOUT * y, axis=0, keepdims=True)    # (1, C)
+    dy = (dOUT * g8).astype(dt)                      # (R, C) bf16
+
+    _acc(dw2_ref, _mm(ge, dy, 0, 0), first)          # (F, C)
+    _acc(db2_ref, jnp.sum(dy.astype(jnp.float32), axis=0, keepdims=True), first)
+    dge = _mm(dy, w2_ref[...], 1, 1)                 # (R, F) f32
+    dgelu = phi_c + a * (_INV_SQRT_2PI * jnp.exp(-0.5 * a * a))
+    da = (dge * dgelu).astype(dt)
+    _acc(dw1_ref, _mm(h3, da, 0, 0), first)          # (C, F)
+    _acc(db1_ref, jnp.sum(da.astype(jnp.float32), axis=0, keepdims=True), first)
+    dh3 = _mm(da, w1_ref[...], 1, 1)                 # (R, C) f32
+
+    dx_ln, dsh, dsc = _modln_bwd(dh3, hh, rstd, sc)
+    dmod_ref[0, 0:1, :] = dsh
+    dmod_ref[0, 1:2, :] = dsc
+    dmod_ref[0, 2:3, :] = dg
+    dx2_ref[0] = (dOUT + dx_ln).astype(dx2_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# stage 2 (frame attention) backward kernel
+# ---------------------------------------------------------------------------
+
+def _k2(x1_ref, dx2_ref, mod_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+        bkt_ref, bvt_ref, bias_ref, cost_ref, sint_ref, fht_ref,
+        dx1_ref, dmod_ref, dwqkv_ref, dbqkv_ref, dwout_ref, dbout_ref,
+        dbkt_ref, dbvt_ref, *, num_heads: int, head_dim: int, pad_dim: int,
+        channels: int):
+    C, H, D, Dp = channels, num_heads, head_dim, pad_dim
+    Cp = H * Dp
+    R = x1_ref.shape[1]
+    TKt = cost_ref.shape[0]
+    Tp = TKt - 8
+    L = R // Tp
+    halfp = D // 2
+    dt = x1_ref.dtype
+    first = pl.program_id(0) == 0
+
+    fht = fht_ref[...]
+    X1 = x1_ref[0]
+    dX2 = dx2_ref[0].astype(jnp.float32)
+
+    # ---- recompute forward ----
+    h2, hh, rstd, sc = _modln_fwd(X1, mod_ref, 3, dt)
+    qkv = (_mm(h2, wqkv_ref[...], 1, 0) + bqkv_ref[...].astype(jnp.float32)).astype(dt)
+
+    cos_rows = jnp.concatenate([cost_ref[0:Tp]] * L, axis=0).astype(jnp.float32)
+    sin_rows = jnp.concatenate([sint_ref[0:Tp]] * L, axis=0).astype(jnp.float32)
+
+    def rot(x32):
+        take_right = pltpu.roll(x32, Cp - halfp, 1)
+        take_left = pltpu.roll(x32, halfp, 1)
+        return -take_right * fht + take_left * (1.0 - fht)
+
+    def rope_rows(x):
+        x32 = x.astype(jnp.float32)
+        return (x32 * cos_rows + rot(x32) * sin_rows).astype(x.dtype)
+
+    def rope_bias(x):
+        cosb = cost_ref[Tp:].astype(jnp.float32)
+        sinb = sint_ref[Tp:].astype(jnp.float32)
+        x32 = x.astype(jnp.float32)
+        return (x32 * cosb + rot(x32) * sinb).astype(x.dtype)
+
+    q_all = rope_rows(qkv[:, :Cp])
+    k_all = rope_rows(qkv[:, Cp:2 * Cp])
+    bk_blk = rope_bias(jnp.broadcast_to(bkt_ref[...], (8, Cp)).astype(dt))
+    bv_blk = jnp.broadcast_to(bvt_ref[...], (8, Cp)).astype(dt)
+
+    Gh = max(1, 128 // Dp)
+    while Gh > 1 and H % Gh:
+        Gh -= 1
+
+    g5 = mod_ref[0, 5:6, :].astype(jnp.float32)
+
+    att_parts, per_r = [], []
+    for r in range(L):
+        q_r = q_all[r * Tp:(r + 1) * Tp]
+        kb_r = jnp.concatenate([k_all[r * Tp:(r + 1) * Tp], bk_blk], axis=0)  # (TKt, Cp)
+        vb_r = jnp.concatenate([qkv[r * Tp:(r + 1) * Tp, 2 * Cp:], bv_blk], axis=0)
+        bias = bias_ref[0, r:r + 1, :]  # (1, TKt)
+        outs, saved = [], []
+        h0 = 0
+        while h0 < H:
+            gh = min(Gh, H - h0)
+            W = gh * Dp
+            lo = h0 * Dp
+            q_rg = q_r[:, lo:lo + W]
+            kb_rg = kb_r[:, lo:lo + W]
+            vb_rg = vb_r[:, lo:lo + W]
+            masks = _group_masks(Dp, gh, q_rg.dtype)
+            qs = (q_rg[None] * masks).reshape(gh * Tp, W)
+            logits = _mm(qs, kb_rg, 1, 1) + bias.astype(jnp.float32)  # (gh*Tp, TKt)
+            m = jnp.max(logits, axis=1, keepdims=True)
+            p = jnp.exp(logits - m)
+            pn = (p * (1.0 / jnp.sum(p, axis=1, keepdims=True))).astype(dt)
+            pv = _mm(pn, vb_rg, 1, 0)  # (gh*Tp, W) f32
+            outs.append(jnp.sum(pv.reshape(gh, Tp, W) * masks.astype(jnp.float32), axis=0))
+            saved.append((qs, pn, kb_rg, vb_rg, masks, gh, W, lo))
+            h0 += gh
+        att_parts.append(jnp.concatenate(outs, axis=1).astype(dt))  # (Tp, Cp)
+        per_r.append(saved)
+    att2 = jnp.concatenate(att_parts, axis=0)  # (R, Cp) bf16
+    attW = _mm(att2, wout_ref[...], 1, 0) + bout_ref[...].astype(jnp.float32)
+
+    # ---- backward ----
+    dg = jnp.sum(dX2 * attW, axis=0, keepdims=True)
+    dpre = (dX2 * g5).astype(dt)  # (R, C)
+    _acc(dwout_ref, _mm(att2, dpre, 0, 0), first)  # (Cp, C)
+    _acc(dbout_ref, jnp.sum(dpre.astype(jnp.float32), axis=0, keepdims=True), first)
+    datt = _mm(dpre, wout_ref[...], 1, 1).astype(dt)  # (R, Cp)
+
+    dq_rows, dk_rows, dv_rows = [], [], []
+    dbk_acc = jnp.zeros((8, Cp), jnp.float32)
+    dbv_acc = jnp.zeros((8, Cp), jnp.float32)
+    for r in range(L):
+        datt_r = datt[r * Tp:(r + 1) * Tp]
+        dq_r = []
+        dkb_r = []
+        dvb_r = []
+        for (qs, pn, kb_rg, vb_rg, masks, gh, W, lo) in per_r[r]:
+            dout_g = datt_r[:, lo:lo + W]
+            dpv = (dout_g[None] * masks).reshape(gh * Tp, W)  # bf16
+            dpn = _mm(dpv, vb_rg, 1, 1)          # (gh*Tp, TKt) f32
+            dvb = _mm(pn, dpv, 0, 0)             # (TKt, W) f32
+            pn32 = pn.astype(jnp.float32)
+            srow = jnp.sum(pn32 * dpn, axis=1, keepdims=True)
+            dlog = (pn32 * (dpn - srow)).astype(dt)
+            dqs = _mm(dlog, kb_rg, 1, 0)         # (gh*Tp, W) f32
+            dq_g = jnp.sum(dqs.reshape(gh, Tp, W) * masks.astype(jnp.float32), axis=0)
+            dkb = _mm(dlog, qs, 0, 0)            # (TKt, W) f32
+            dq_r.append(dq_g)
+            dkb_r.append(dkb)
+            dvb_r.append(dvb)
+        dq_rows.append(jnp.concatenate(dq_r, axis=1))      # (Tp, Cp)
+        dkb_full = jnp.concatenate(dkb_r, axis=1)          # (TKt, Cp)
+        dvb_full = jnp.concatenate(dvb_r, axis=1)
+        dk_rows.append(dkb_full[:Tp])
+        dv_rows.append(dvb_full[:Tp])
+        dbk_acc = dbk_acc + dkb_full[Tp:]
+        dbv_acc = dbv_acc + dvb_full[Tp:]
+
+    dq_roped = jnp.concatenate(dq_rows, axis=0)  # (R, Cp) f32
+    dk_roped = jnp.concatenate(dk_rows, axis=0)
+    dv_all = jnp.concatenate(dv_rows, axis=0)
+
+    def rope_rows_T(dy):
+        return dy * cos_rows + _rot_t(dy * sin_rows, fht, halfp, Cp)
+
+    dq = rope_rows_T(dq_roped)
+    dk = rope_rows_T(dk_roped)
+    cosb = cost_ref[Tp:].astype(jnp.float32)
+    sinb = sint_ref[Tp:].astype(jnp.float32)
+    dbk = dbk_acc * cosb + _rot_t(dbk_acc * sinb, fht, halfp, Cp)
+    _acc(dbkt_ref, jnp.sum(dbk, axis=0, keepdims=True), first)
+    _acc(dbvt_ref, jnp.sum(dbv_acc, axis=0, keepdims=True), first)
+
+    dqkv = jnp.concatenate([dq, dk, dv_all], axis=1).astype(dt)  # (R, 3Cp)
+    _acc(dwqkv_ref, _mm(h2, dqkv, 0, 0), first)  # (C, 3Cp)
+    _acc(dbqkv_ref, jnp.sum(dqkv.astype(jnp.float32), axis=0, keepdims=True), first)
+    dh2 = _mm(dqkv, wqkv_ref[...], 1, 1)         # (R, C) f32
+
+    dx_ln, dsh, dsc = _modln_bwd(dh2, hh, rstd, sc)
+    dmod_ref[0, 0:1, :] = dsh
+    dmod_ref[0, 1:2, :] = dsc
+    dmod_ref[0, 2:3, :] = dg
+    dx1_ref[0] = (dX2 + dx_ln).astype(dx1_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# stage 1 (residue attention) backward kernel
+# ---------------------------------------------------------------------------
+
+def _k1(x_ref, dx1_ref, mod_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+        bkl_ref, bvl_ref, bias_ref, cosr_ref, sinr_ref, fh_ref, s_ref, st_ref,
+        dx_ref, dmod_ref, dwqkv_ref, dbqkv_ref, dwout_ref, dbout_ref,
+        dbkl_ref, dbvl_ref, *, num_heads: int, head_dim: int, channels: int):
+    C, H, D = channels, num_heads, head_dim
+    Tp = x_ref.shape[1]
+    LC = x_ref.shape[2]
+    L = LC // C
+    J = L + 1
+    R = L * Tp
+    half = D // 2
+    dt = x_ref.dtype
+    first = pl.program_id(0) == 0
+
+    fh = fh_ref[...]
+    S = s_ref[...]          # (C, H) f32
+    St = st_ref[...]        # (H, C) f32
+    Sd = S.astype(dt)
+    Std = St.astype(dt)
+
+    X = _restack(x_ref[0], L, C)           # (R, C)
+    dX1 = dx1_ref[0].astype(jnp.float32)
+
+    def rot(x32):
+        take_right = pltpu.roll(x32, C - half, 1)
+        take_left = pltpu.roll(x32, half, 1)
+        return -take_right * fh + take_left * (1.0 - fh)
+
+    def rope(x, pos):
+        cos = cosr_ref[pos].astype(jnp.float32)
+        sin = sinr_ref[pos].astype(jnp.float32)
+        x32 = x.astype(jnp.float32)
+        return (x32 * cos + rot(x32) * sin).astype(x.dtype)
+
+    def rope_T(dy, pos):
+        cos = cosr_ref[pos].astype(jnp.float32)
+        sin = sinr_ref[pos].astype(jnp.float32)
+        return dy * cos + _rot_t(dy * sin, fh, half, C)
+
+    # ---- recompute forward ----
+    h1, hh, rstd, sc = _modln_fwd(X, mod_ref, 0, dt)
+    qkv = (_mm(h1, wqkv_ref[...], 1, 0) + bqkv_ref[...].astype(jnp.float32)).astype(dt)
+
+    def blk(a, r):
+        return a[r * Tp:(r + 1) * Tp]
+
+    qs = [rope(blk(qkv, r)[:, :C], r) for r in range(L)]
+    ks = [rope(blk(qkv, r)[:, C:2 * C], r) for r in range(L)]
+    vs = [blk(qkv, r)[:, 2 * C:] for r in range(L)]
+    ks.append(rope(jnp.broadcast_to(bkl_ref[...], (Tp, C)).astype(dt), L))
+    vs.append(jnp.broadcast_to(bvl_ref[...], (Tp, C)).astype(dt))
+    q_all = jnp.concatenate(qs, axis=0)    # (R, C)
+
+    bias_l = bias_ref[0]                   # (Tp, J)
+    k_tiles = [jnp.concatenate([ks[j]] * L, axis=0) for j in range(J)]
+    v_tiles = [jnp.concatenate([vs[j]] * L, axis=0).astype(jnp.float32) for j in range(J)]
+    ls = []
+    for j in range(J):
+        e = q_all * k_tiles[j]
+        l = _mm(e, Sd, 1, 0)               # (R, H)
+        bias_j = jnp.concatenate([bias_l[:, j:j + 1]] * L, axis=0)
+        ls.append(l + bias_j)
+    m = ls[0]
+    for l in ls[1:]:
+        m = jnp.maximum(m, l)
+    ps = [jnp.exp(l - m) for l in ls]
+    denom = ps[0]
+    for p in ps[1:]:
+        denom = denom + p
+    inv = 1.0 / denom
+    pns = [ps[j] * inv for j in range(J)]  # (R, H) f32, normalized
+    exps = [_mm(pns[j].astype(dt), Std, 1, 0) for j in range(J)]  # (R, C)
+    acc = jnp.zeros((R, C), jnp.float32)
+    for j in range(J):
+        acc = acc + exps[j] * v_tiles[j]
+    att1 = acc.astype(dt)
+    attW = _mm(att1, wout_ref[...], 1, 0) + bout_ref[...].astype(jnp.float32)
+
+    # ---- backward ----
+    g2 = mod_ref[0, 2:3, :].astype(jnp.float32)
+    dg = jnp.sum(dX1 * attW, axis=0, keepdims=True)
+    dpre = (dX1 * g2).astype(dt)
+    _acc(dwout_ref, _mm(att1, dpre, 0, 0), first)
+    _acc(dbout_ref, jnp.sum(dpre.astype(jnp.float32), axis=0, keepdims=True), first)
+    datt = _mm(dpre, wout_ref[...], 1, 1)  # (R, C) f32
+
+    dpns = [_mm((datt * v_tiles[j]).astype(dt), Sd, 1, 0) for j in range(J)]  # (R, H)
+    # softmax adjoint's per-(row, head) sum over keys j: the key axis is the
+    # list index, so the sum is an elementwise accumulation of (R, H) sheets
+    srow = pns[0] * dpns[0]
+    for j in range(1, J):
+        srow = srow + pns[j] * dpns[j]
+    dq32 = jnp.zeros((R, C), jnp.float32)
+    dks, dvs = [], []
+    for j in range(J):
+        dl = (pns[j] * (dpns[j] - srow)).astype(dt)  # (R, H)
+        de = _mm(dl, Std, 1, 0)                      # (R, C) f32
+        dq32 = dq32 + de * k_tiles[j].astype(jnp.float32)
+        deq = de * q_all.astype(jnp.float32)         # (R, C)
+        dvt = exps[j] * datt                         # (R, C): d(v_tile_j)
+        # fold the L row-tiles back to (Tp, C)
+        dk_j = blk(deq, 0)
+        dv_j = blk(dvt, 0)
+        for i in range(1, L):
+            dk_j = dk_j + blk(deq, i)
+            dv_j = dv_j + blk(dvt, i)
+        dks.append(dk_j)
+        dvs.append(dv_j)
+
+    # rope adjoints
+    dq_parts = [rope_T(blk(dq32, r), r) for r in range(L)]
+    dk_parts = [rope_T(dks[r], r) for r in range(L)]
+    dbkl = jnp.sum(rope_T(dks[L], L), axis=0, keepdims=True)
+    dbvl = jnp.sum(dvs[L], axis=0, keepdims=True)
+    _acc(dbkl_ref, dbkl, first)
+    _acc(dbvl_ref, dbvl, first)
+
+    dqkv = jnp.concatenate(
+        [jnp.concatenate([dq_parts[r], dk_parts[r], dvs[r]], axis=1) for r in range(L)],
+        axis=0).astype(dt)  # (R, 3C)
+    _acc(dwqkv_ref, _mm(h1, dqkv, 0, 0), first)
+    _acc(dbqkv_ref, jnp.sum(dqkv.astype(jnp.float32), axis=0, keepdims=True), first)
+    dh1 = _mm(dqkv, wqkv_ref[...], 1, 1)  # (R, C)
+
+    dx_ln, dsh, dsc = _modln_bwd(dh1, hh, rstd, sc)
+    dmod_ref[0, 0:1, :] = dsh
+    dmod_ref[0, 1:2, :] = dsc
+    dmod_ref[0, 2:3, :] = dg
+    dX = dX1 + dx_ln
+    for r in range(L):
+        dx_ref[0, :, r * C:(r + 1) * C] = blk(dX, r).astype(dx_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# host-side orchestration
+# ---------------------------------------------------------------------------
+
+# the recompute-heavy stage kernels hold a stage's activations + grads at
+# once; the compiler's default 16M scoped-vmem cap is too small at the bench
+# config (K2 needs ~18M at B-block (416, 512)), so raise the per-kernel cap
+# well under the 128M physical VMEM
+_VMEM_CAP = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+
+
+def _rep(shape):
+    n = len(shape)
+    return pl.BlockSpec(shape, lambda b: (0,) * n)
+
+
+def _bat(shape):
+    n = len(shape)
+    return pl.BlockSpec((1,) + shape, lambda b, _n=n: (b,) + (0,) * _n)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "T", "L", "interpret"))
+def fused_layer_bwd(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t,
+                    wout_t, bout_t, w1, b1, w2, b2, bkl, bvl, bkt, bvt, mask,
+                    x1s, x2s, grad, num_heads: int, T: int, L: int,
+                    interpret: bool = False):
+    """Run the three backward kernels. ``x`` and ``grad`` arrive in the
+    frame-padded (B, Tp, L*C) trunk layout; ``x1s``/``x2s`` are the stage
+    residuals saved by the forward kernel in stacked (B, L*Tp, C) layout.
+    Returns gradients for the 18 differentiable fused_layer args, with the
+    (B, Tp, L*C) dx."""
+    B, Tp, LC = x.shape
+    C = LC // L
+    H = num_heads
+    D = C // H
+    F = w1.shape[1]
+    J = L + 1
+    R = L * Tp
+    TKt = Tp + 8
+    dt = x.dtype
+    f32 = jnp.float32
+
+    # --- masks/biases and tables (mirrors the forward prep) ---
+    bias_l = (mask.astype(f32) - 1.0) * -_NEG_INF
+    bias_l = jnp.concatenate([bias_l, jnp.zeros((B, T, 1), f32)], axis=2)
+    if Tp != T:
+        bias_l = jnp.pad(bias_l, ((0, 0), (0, Tp - T), (0, 0)))
+    kv_t = mask.transpose(0, 2, 1)
+    bias_t = (kv_t.astype(f32) - 1.0) * -_NEG_INF
+    tail = jnp.full((B, L, TKt - T), _NEG_INF, f32)
+    tail = tail.at[:, :, Tp - T].set(0.0)
+    bias_t = jnp.concatenate([bias_t, tail], axis=2)
+
+    cosr_np, sinr_np, fh_np, s_np = _res_tables_np(J, D, C)
+    cost_np, sint_np, _ = _time_tables_np(T + 1, D, C)
+
+    Dp = 32 if 128 % D else D
+    Cp = H * Dp
+
+    def dpad(a, part_shape, axis):
+        if Dp == D:
+            return a
+        a = a.reshape(part_shape)
+        pads = [(0, 0)] * a.ndim
+        pads[axis] = (0, Dp - D)
+        return jnp.pad(a, pads)
+
+    wqkv_t_p = dpad(wqkv_t, (C, 3, H, D), 3).reshape(C, 3 * Cp)
+    bqkv_t_p = dpad(bqkv_t.reshape(-1), (3, H, D), 2).reshape(1, 3 * Cp)
+    wout_t_p = dpad(wout_t, (H, D, C), 1).reshape(Cp, C)
+    bkt_p = dpad(bkt.reshape(-1), (H, D), 1).reshape(1, Cp)
+    bvt_p = dpad(bvt.reshape(-1), (H, D), 1).reshape(1, Cp)
+
+    def tpad_np(base):
+        if Dp == D:
+            return base
+        n = base.shape[0]
+        return np.pad(base.reshape(n, H, D), ((0, 0), (0, 0), (0, Dp - D))).reshape(n, Cp)
+
+    def ttable(base):
+        ext_q = base[list(range(T)) + [T - 1] * (Tp - T)] if Tp != T else base[:T]
+        return np.concatenate([ext_q, np.tile(base[T:T + 1], (8, 1))], axis=0)
+
+    cosr = jnp.asarray(cosr_np, f32).reshape(J, 1, C)
+    sinr = jnp.asarray(sinr_np, f32).reshape(J, 1, C)
+    cost = jnp.asarray(ttable(tpad_np(cost_np)), f32)
+    sint = jnp.asarray(ttable(tpad_np(sint_np)), f32)
+    fh = jnp.asarray(fh_np, f32).reshape(1, C)
+    fht_np = ((np.arange(Cp) % Dp) < D // 2).astype(np.float32)
+    fht = jnp.asarray(fht_np, f32).reshape(1, Cp)
+    S = jnp.asarray(s_np, f32)
+
+    mod9 = mod.reshape(B, 9, C)
+
+    # --- K3: MLP stage ---
+    k3_out = pl.pallas_call(
+        functools.partial(_k3, channels=C),
+        grid=(B,),
+        in_specs=[_bat((R, C)), _bat((Tp, LC)), _bat((9, C)),
+                  _rep((C, F)), _rep((1, F)), _rep((F, C)), _rep((1, C))],
+        out_specs=[_bat((R, C)), _bat((3, C)),
+                   _rep((C, F)), _rep((1, F)), _rep((F, C)), _rep((1, C))],
+        out_shape=[jax.ShapeDtypeStruct((B, R, C), f32),
+                   jax.ShapeDtypeStruct((B, 3, C), f32),
+                   jax.ShapeDtypeStruct((C, F), f32),
+                   jax.ShapeDtypeStruct((1, F), f32),
+                   jax.ShapeDtypeStruct((F, C), f32),
+                   jax.ShapeDtypeStruct((1, C), f32)],
+        interpret=interpret,
+        compiler_params=_VMEM_CAP,
+    )(x2s, grad, mod9, w1, b1.reshape(1, F), w2, b2.reshape(1, C))
+    dx2, dmod_m, dw1, db1, dw2, db2 = k3_out
+
+    # --- K2: frame attention stage ---
+    k2_out = pl.pallas_call(
+        functools.partial(_k2, num_heads=H, head_dim=D, pad_dim=Dp, channels=C),
+        grid=(B,),
+        in_specs=[_bat((R, C)), _bat((R, C)), _bat((9, C)),
+                  _rep((C, 3 * Cp)), _rep((1, 3 * Cp)), _rep((Cp, C)), _rep((1, C)),
+                  _rep((1, Cp)), _rep((1, Cp)), _bat((L, TKt)),
+                  _rep((TKt, Cp)), _rep((TKt, Cp)), _rep((1, Cp))],
+        out_specs=[_bat((R, C)), _bat((3, C)),
+                   _rep((C, 3 * Cp)), _rep((1, 3 * Cp)), _rep((Cp, C)), _rep((1, C)),
+                   _rep((1, Cp)), _rep((1, Cp))],
+        out_shape=[jax.ShapeDtypeStruct((B, R, C), f32),
+                   jax.ShapeDtypeStruct((B, 3, C), f32),
+                   jax.ShapeDtypeStruct((C, 3 * Cp), f32),
+                   jax.ShapeDtypeStruct((1, 3 * Cp), f32),
+                   jax.ShapeDtypeStruct((Cp, C), f32),
+                   jax.ShapeDtypeStruct((1, C), f32),
+                   jax.ShapeDtypeStruct((1, Cp), f32),
+                   jax.ShapeDtypeStruct((1, Cp), f32)],
+        interpret=interpret,
+        compiler_params=_VMEM_CAP,
+    )(x1s, dx2, mod9, wqkv_t_p, bqkv_t_p, wout_t_p, bout_t.reshape(1, C),
+      bkt_p.astype(dt), bvt_p.astype(dt), bias_t, cost, sint, fht)
+    dx1, dmod_t, dwqkv_t_p, dbqkv_t_p, dwout_t_p, dbout_t, dbkt_p, dbvt_p = k2_out
+
+    # --- K1: residue attention stage ---
+    k1_out = pl.pallas_call(
+        functools.partial(_k1, num_heads=H, head_dim=D, channels=C),
+        grid=(B,),
+        in_specs=[_bat((Tp, LC)), _bat((R, C)), _bat((9, C)),
+                  _rep((C, 3 * C)), _rep((1, 3 * C)), _rep((C, C)), _rep((1, C)),
+                  _rep((1, C)), _rep((1, C)), _bat((Tp, J)),
+                  _rep((J, 1, C)), _rep((J, 1, C)), _rep((1, C)),
+                  _rep((C, H)), _rep((H, C))],
+        out_specs=[_bat((Tp, LC)), _bat((3, C)),
+                   _rep((C, 3 * C)), _rep((1, 3 * C)), _rep((C, C)), _rep((1, C)),
+                   _rep((1, C)), _rep((1, C))],
+        out_shape=[jax.ShapeDtypeStruct((B, Tp, LC), dt),
+                   jax.ShapeDtypeStruct((B, 3, C), f32),
+                   jax.ShapeDtypeStruct((C, 3 * C), f32),
+                   jax.ShapeDtypeStruct((1, 3 * C), f32),
+                   jax.ShapeDtypeStruct((C, C), f32),
+                   jax.ShapeDtypeStruct((1, C), f32),
+                   jax.ShapeDtypeStruct((1, C), f32),
+                   jax.ShapeDtypeStruct((1, C), f32)],
+        interpret=interpret,
+        compiler_params=_VMEM_CAP,
+    )(x, dx1, mod9, wqkv_l, bqkv_l.reshape(1, 3 * C), wout_l,
+      bout_l.reshape(1, C), bkl.reshape(1, C).astype(dt),
+      bvl.reshape(1, C).astype(dt), bias_l, cosr, sinr, fh, S, S.T)
+    dx, dmod_l, dwqkv_l, dbqkv_l, dwout_l, dbout_l, dbkl, dbvl = k1_out
+
+    # --- assemble gradients in the original argument shapes/dtypes ---
+    def unpad_w(a, parts, axis):
+        if Dp == D:
+            return a
+        a = a.reshape(parts)
+        idx = [slice(None)] * a.ndim
+        idx[axis] = slice(0, D)
+        return a[tuple(idx)]
+
+    dwqkv_t = unpad_w(dwqkv_t_p, (C, 3, H, Dp), 3).reshape(C, 3 * C)
+    dbqkv_t = unpad_w(dbqkv_t_p.reshape(-1), (3, H, Dp), 2).reshape(-1)
+    dwout_t = unpad_w(dwout_t_p, (H, Dp, C), 1).reshape(C, C)
+    dbkt = unpad_w(dbkt_p.reshape(-1), (H, Dp), 1).reshape(-1)
+    dbvt = unpad_w(dbvt_p.reshape(-1), (H, Dp), 1).reshape(-1)
+
+    def shape_like(g, ref):
+        return g.reshape(jnp.shape(ref)).astype(ref.dtype)
+
+    dmod = jnp.concatenate([dmod_l, dmod_t, dmod_m], axis=1)  # (B, 9, C)
+    return (dx.astype(dt),
+            shape_like(dmod, mod),
+            shape_like(dwqkv_l, wqkv_l), shape_like(dbqkv_l, bqkv_l),
+            shape_like(dwout_l, wout_l), shape_like(dbout_l, bout_l),
+            shape_like(dwqkv_t, wqkv_t), shape_like(dbqkv_t, bqkv_t),
+            shape_like(dwout_t, wout_t), shape_like(dbout_t, bout_t),
+            shape_like(dw1, w1), shape_like(db1, b1),
+            shape_like(dw2, w2), shape_like(db2, b2),
+            shape_like(dbkl, bkl), shape_like(dbvl, bvl),
+            shape_like(dbkt, bkt), shape_like(dbvt, bvt))

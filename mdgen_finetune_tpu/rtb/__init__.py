@@ -4,6 +4,8 @@ from .lora import lora_init, lora_merge, lora_targets_default
 from .samplers import PosteriorPriorDGFN, PosteriorPriorBaselineSampler
 from .replay_buffer import ReplayBuffer
 from .denoisers import UNet2D, UNet3DSeq, UNetSeqDenoiser
+from .pipelines import (DDIMGFNPipeline, DDPMDPPipeline, DDPMGFNPipeline,
+                        DiffusionPipeline, LDMGFNPipeline)
 
 __all__ = [
     "DDPMGFNScheduler",

@@ -30,8 +30,8 @@ class DDIMGFNScheduler(DDPMGFNScheduler):
 
     def step(self, model_output, t, sample, key=None, noise=None, target=None, xT_type="gaussian"):
         prev_t = self.previous_timestep(t)
-        alpha_prod_t = self._alpha_prod(t)
-        alpha_prod_t_prev = self._alpha_prod(prev_t)
+        alpha_prod_t = self._bc(self._alpha_prod(t), sample)
+        alpha_prod_t_prev = self._bc(self._alpha_prod(prev_t), sample)
         beta_prod_t = 1 - alpha_prod_t
 
         x0 = self.pred_x0(model_output, t, sample)
@@ -56,7 +56,7 @@ class DDIMGFNScheduler(DDPMGFNScheduler):
         else:
             variance_noise = noise
 
-        add = jnp.where(t > 0, 1.0, 0.0)
+        add = self._bc(jnp.where(t > 0, 1.0, 0.0), sample)
         prev_sample = mean + add * sigma * variance_noise
         return {
             "prev_sample": prev_sample,

@@ -3,6 +3,8 @@
 Same protocol as bench.py (distinct inputs, pipelined calls, one end sync);
 prints steps/sec/chip per config. Run solo on the TPU.
 """
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import jax
@@ -65,11 +67,17 @@ def measure(B, T, L, n_steps, n_calls):
 
 
 if __name__ == "__main__":
-    for B, n_steps, n_calls in [
-        (32, 8, 8),      # current bench config (reference point)
-        (32, 32, 4),     # amortize per-call overhead
-        (32, 100, 2),    # reference _i100 inference-step count
-        (64, 32, 4),
-        (128, 32, 2),
-    ]:
-        measure(B, 100, 4, n_steps, n_calls)
+    if len(sys.argv) > 1:
+        # explicit configs: B,T,L,n_steps,n_calls per arg
+        for a in sys.argv[1:]:
+            B, T, L, n_steps, n_calls = (int(v) for v in a.split(","))
+            measure(B, T, L, n_steps, n_calls)
+    else:
+        for B, n_steps, n_calls in [
+            (32, 8, 8),      # current bench config (reference point)
+            (32, 32, 4),     # amortize per-call overhead
+            (32, 100, 2),    # reference _i100 inference-step count
+            (64, 32, 4),
+            (128, 32, 2),
+        ]:
+            measure(B, 100, 4, n_steps, n_calls)

@@ -5,6 +5,8 @@ Measures the full jitted Trainer step (loss, grads, EMA, donated state) at the
 for alongside the forward bench. Run solo on the TPU.
 """
 import sys
+import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import jax
@@ -32,16 +34,23 @@ def main(B=32, T=100, L=4, steps=24, grad_ckpt=False):
     it = make_batch_iterator(ds, B, seed=0)
     state = trainer.init_state(jax.random.key(0), next(it))
 
-    # compile + warm
-    state, metrics = trainer.step(state, next(it), jax.random.key(1))
-    jax.block_until_ready(metrics)
+    print("init done, compiling step...", flush=True)
+    raw_step = trainer.train_step
 
-    batches = [next(it) for _ in range(steps)]
+    def step_fn(state, b, key):
+        return raw_step(state, {k: v for k, v in b.items() if k != "name"}, key)
+    t0 = time.perf_counter()
+    state, metrics = step_fn(state, next(it), jax.random.key(1))
+    jax.block_until_ready(metrics)
+    print(f"compile+first step: {time.perf_counter() - t0:.1f}s", flush=True)
+
+    batches = [{k: v for k, v in next(it).items() if k != "name"}
+               for _ in range(steps)]
     jax.block_until_ready(jax.device_put(batches[0]))
     start = time.perf_counter()
     ms = []
     for b in batches:
-        state, metrics = trainer.step(state, b, jax.random.key(2))
+        state, metrics = step_fn(state, b, jax.random.key(2))
         ms.append(metrics)
     jax.block_until_ready((state, ms))
     elapsed = time.perf_counter() - start
