@@ -208,6 +208,8 @@ def _kernel(x_ref, mod_ref, wqkv_l_ref, bqkv_l_ref, wout_l_ref, bout_l_ref,
             kbTs, vbs = [], []
             for r in range(L):
                 kb_r = jnp.concatenate([k_all[r * Tp:(r + 1) * Tp], bk_blk], axis=0)
+                # hoisted transpose measured identical to a lane-lane
+                # contraction (r3 "T" probe) — keep the explicit form
                 kbTs.append(kb_r.T)  # (Cp, TKt)
                 vbs.append(jnp.concatenate([blk(qkv, r)[:, 2 * Cp:], bv_blk], axis=0))
             atts = []
@@ -226,6 +228,8 @@ def _kernel(x_ref, mod_ref, wqkv_l_ref, bqkv_l_ref, wout_l_ref, bout_l_ref,
     # ---- stage 3: MLP ----
     if "3" in stages:
         a = matmul(modln(X2, 6), w1_ref, b1_ref)  # (R, 4C) f32
+        # gelu stays f32: a bf16 erf chain fails to lower (Mosaic rejects
+        # bf16 cmpf for jnp.sign) — measured dead end, PERF.md r3
         a = a * 0.5 * (1.0 + _erf(a * (2.0**-0.5)))
         y = matmul(a.astype(dt), w2_ref, b2_ref)
         OUT = X2.astype(jnp.float32) + gatev(8) * y

@@ -350,6 +350,10 @@ def _pallas_fwd_blocked(q, k, v, bias_k, bias_v, key_valid, num_heads: int,
         out_specs=pl.BlockSpec((1, Tp2, C), lambda b, r: (b, 0, r)),
         out_shape=jax.ShapeDtypeStruct((B, Tp2, L * C), q.dtype),
         interpret=interpret,
+        # the grouped-attend stacked intermediates ((gh*tq, TK) f32 logits
+        # etc.) exceed the compiler's default 16M scoped-vmem cap at T=1000;
+        # raise the per-kernel cap (v5e has 128M physical VMEM)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
     )(q, kb, vb, bias, cos, sin, fh)
     return out[:, :T].reshape(B, T, L, C)
 
