@@ -53,13 +53,17 @@ def main():
     def euler_chain(params, x0):
         # the product's sampling loop shape (transport/samplers.py sample_ode):
         # N_STEPS dependent denoiser applications inside one lax.scan — no
-        # per-step host dispatch, exactly like batched ODE sampling
+        # per-step host dispatch, exactly like batched ODE sampling; the
+        # trunk weight pack is hoisted out of the scan exactly as
+        # InferenceEngine._sample does
         dt = 1.0 / N_STEPS
+        pack = model.apply(params, method=model.make_trunk_pack)
 
         def step(xc, tk):
             v = model.apply(
                 params, xc, tk, mask, start_frames=frames, end_frames=frames,
                 x_cond=x_cond, x_cond_mask=x_cond_mask, aatype=aatype,
+                trunk_pack=pack,
             )
             return xc + dt * v.astype(xc.dtype), ()
 
@@ -125,10 +129,13 @@ def _atlas_forward_ms():
 
     @jax.jit
     def chain(params, x0):
+        pack = model.apply(params, method=model.make_trunk_pack)
+
         def step(xc, tk):
             v = model.apply(
                 params, xc, tk, mask, start_frames=frames, end_frames=frames,
                 x_cond=x_cond, x_cond_mask=x_cond_mask, aatype=aatype,
+                trunk_pack=pack,
             )
             return xc + (1.0 / n_steps) * v.astype(xc.dtype), ()
 

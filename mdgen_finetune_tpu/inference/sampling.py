@@ -136,8 +136,14 @@ class InferenceEngine:
         else:
             zs = sample_prior_latent(k_prior, B, T, L, cfg.latent_dim, design=cfg.task.design)
 
+        # fold+stack the trunk weights ONCE, outside the ODE-step scan
+        # (models/denoiser.make_trunk_pack: ~26 MB of weight prep that XLA
+        # does not hoist out of the scan by itself)
+        pack = self.model.apply(params, method=self.model.make_trunk_pack)
+
         def model_fn(x, t, **extra):
-            return self.model.apply(params, x, t, method=self.model.forward_inference, **kw)
+            return self.model.apply(params, x, t, method=self.model.forward_inference,
+                                    trunk_pack=pack, **kw)
 
         if self.sampler == "sde":
             sde_sample = self.transport.make_sde_sampler(model_fn, **self.sde_opts)
@@ -184,8 +190,11 @@ class InferenceEngine:
             aa1h = jnp.broadcast_to(aa1h[:, None], (*x1.shape[:-1], 20))
             x1 = jnp.concatenate([x1, aa1h], axis=-1)
 
+        pack = self.model.apply(params, method=self.model.make_trunk_pack)
+
         def model_fn(x, t, **extra):
-            return self.model.apply(params, x, t, method=self.model.forward_inference, **kw)
+            return self.model.apply(params, x, t, method=self.model.forward_inference,
+                                    trunk_pack=pack, **kw)
 
         drift = self.transport.drift_fn(model_fn)
         t0, t1 = self.transport.check_interval(eval=True)

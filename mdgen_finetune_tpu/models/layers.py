@@ -6,6 +6,7 @@ blocks carry no affine params (eps 1e-6), matching the reference.
 from __future__ import annotations
 
 import math
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -112,9 +113,10 @@ class DenseParams(nn.Module):
 
     features: int
     in_features: int
+    kernel_init: Any = default_init
 
     @nn.compact
     def __call__(self):
-        k = self.param("kernel", default_init, (self.in_features, self.features))
+        k = self.param("kernel", self.kernel_init, (self.in_features, self.features))
         b = self.param("bias", zero_init, (self.features,))
         return k, b

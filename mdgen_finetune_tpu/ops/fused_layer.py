@@ -41,16 +41,36 @@ def _kernel(x_ref, mod_ref, wqkv_l_ref, bqkv_l_ref, wout_l_ref, bout_l_ref,
             bkl_ref, bvl_ref, bkt_ref, bvt_ref,
             bias_l_ref, bias_t_ref,
             cosr_ref, sinr_ref, cost_ref, sint_ref, fh_ref, fht_ref, s_ref, st_ref,
-            o_ref, *res_refs, num_heads: int, head_dim: int, channels: int,
-            stages: str = "123"):
+            o_ref, *rest, num_heads: int, head_dim: int, channels: int,
+            stages: str = "123", num_layers: int = 1, stream_layers: int = 0):
     """Row-stacked layout: the (Tp, L*C) input is restacked ONCE to
     (L*Tp, C) so every projection / out-proj / MLP matmul runs as a single
     MXU op with M = L*Tp rows — the r2 per-residue loop ran each matmul at
     M = Tp (~40% MFU at the bench shape; the device-op profile showed the
     kernel itself was 4.0 of the 4.5 ms forward). LN + modulate and gates
     are single passes over the stacked rows; only RoPE (per-residue
-    constants) and the attention cores keep per-residue row-block loops."""
+    constants) and the attention cores keep per-residue row-block loops.
+
+    Trunk streaming (``stream_layers = NL > 0``): grid (B, NL), ONE layer
+    per program — program (b, i) streams layer i's weights through its
+    BlockSpec (Mosaic double-buffers the weight DMA against compute) while
+    the activation persists in a VMEM scratch across the i steps, so the
+    inter-layer trunk never touches HBM and the restack/unstack happens
+    once per batch element. A weights-resident variant (all NL layers'
+    weights in VMEM, one program per b) measured 3.70 vs 3.41 ms — weight
+    residency defeats Mosaic's pipelining; streaming is the right TPU
+    shape (r3; reference trunk loop src/mdgen/model/latent_model.py:456-493).
+    ``num_layers > 1`` without streaming keeps that resident variant for
+    interpret-mode reference.
+    """
     C, H, D = channels, num_heads, head_dim
+    NL = num_layers
+    NLt = stream_layers
+    if NLt:
+        *res_refs, xbuf = rest
+        li_s = pl.program_id(1)
+    else:
+        res_refs = rest
     Tp = x_ref.shape[1]
     LC = x_ref.shape[2]
     L = LC // C
@@ -95,34 +115,56 @@ def _kernel(x_ref, mod_ref, wqkv_l_ref, bqkv_l_ref, wout_l_ref, bout_l_ref,
         x32 = x.astype(jnp.float32)
         return (x32 * cos + rotate_half_t(x32) * sin).astype(x.dtype)
 
-    def modln(xs, j):
-        # LN (f32 lane stats, eps 1e-6) + AdaLN modulate with mod row j over
-        # ALL stacked rows in one pass
-        x32 = xs.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=1, keepdims=True)
-        var = jnp.mean(x32 * x32, axis=1, keepdims=True) - mean * mean
-        h = (x32 - mean) * jax.lax.rsqrt(var + _LN_EPS)
-        sh = mod_ref[0, j:j + 1, :].astype(jnp.float32)
-        sc = mod_ref[0, j + 1:j + 2, :].astype(jnp.float32)
-        return (h * (1.0 + sc) + sh).astype(dt)
-
-    def gatev(j):
-        return mod_ref[0, j:j + 1, :].astype(jnp.float32)  # (1, C)
-
-    def matmul(a, w_ref, b_ref):
+    def matmul(a, w, b):
         return jax.lax.dot_general(
-            a, w_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ) + b_ref[...].astype(jnp.float32)
+            a, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) + b.astype(jnp.float32)
 
-    x = x_ref[0]  # (Tp, LC)
-    # restack lanes -> rows: X[r*Tp:(r+1)*Tp] = x[:, r*C:(r+1)*C]
-    X = jnp.concatenate([x[:, r * C:(r + 1) * C] for r in range(L)], axis=0)  # (R, C)
+    def restack():
+        x = x_ref[0]  # (Tp, LC) lanes -> (R, C) rows
+        return jnp.concatenate([x[:, r * C:(r + 1) * C] for r in range(L)], axis=0)
+
+    if NLt:
+        # first layer restacks the trunk input into the persistent scratch;
+        # later programs (same b) resume from it
+        @pl.when(li_s == 0)
+        def _():
+            xbuf[...] = restack()
+
+        X = xbuf[...]
+    else:
+        X = restack()
 
     def blk(a, r):
         return a[r * Tp:(r + 1) * Tp]
 
     S = s_ref[...]
     St = st_ref[...]
+
+    for li in range(NL):
+      # per-layer weight slices (leading NL dim; NL = 1 is the single-layer
+      # whole-layer kernel, biases stored as (NL, 1, X) rows)
+      wqkv_l, bqkv_l = wqkv_l_ref[li], bqkv_l_ref[li]
+      wout_l, bout_l = wout_l_ref[li], bout_l_ref[li]
+      wqkv_t, bqkv_t = wqkv_t_ref[li], bqkv_t_ref[li]
+      wout_t, bout_t = wout_t_ref[li], bout_t_ref[li]
+      w1, b1, w2, b2 = w1_ref[li], b1_ref[li], w2_ref[li], b2_ref[li]
+      bkl, bvl = bkl_ref[li], bvl_ref[li]
+      bkt, bvt = bkt_ref[li], bvt_ref[li]
+
+      def modln(xs, j, _li=li):
+        # LN (f32 lane stats, eps 1e-6) + AdaLN modulate with mod row j over
+        # ALL stacked rows in one pass
+        x32 = xs.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=1, keepdims=True)
+        var = jnp.mean(x32 * x32, axis=1, keepdims=True) - mean * mean
+        h = (x32 - mean) * jax.lax.rsqrt(var + _LN_EPS)
+        sh = mod_ref[0, _li, j:j + 1, :].astype(jnp.float32)
+        sc = mod_ref[0, _li, j + 1:j + 2, :].astype(jnp.float32)
+        return (h * (1.0 + sc) + sh).astype(dt)
+
+      def gatev(j, _li=li):
+        return mod_ref[0, _li, j:j + 1, :].astype(jnp.float32)  # (1, C)
 
     # ---- stage 1: residue attention over L, rows as batch ----
     # Merged-over-i ("per-j") form. The r3 micro-op cost model
@@ -133,8 +175,8 @@ def _kernel(x_ref, mod_ref, wqkv_l_ref, bqkv_l_ref, wout_l_ref, bout_l_ref,
     # produces ONE (R, H) logit sheet (k_j row-tiled across the stacked
     # query rows — free), giving a single max/exp/sum/divide chain and a
     # single J-step accumulate chain at full R = L*Tp row parallelism.
-    if "1" in stages:
-        qkv = matmul(modln(X, 0), wqkv_l_ref, bqkv_l_ref).astype(dt)  # (R, 3C)
+      if "1" in stages:
+        qkv = matmul(modln(X, 0), wqkv_l, bqkv_l).astype(dt)  # (R, 3C)
         if "a" not in stages:  # "a" ablates the attention core (perf probe)
             if "r" in stages:  # perf probe: stage-1 rope cost
                 qs = [blk(qkv, r)[:, :C] for r in range(L)]
@@ -143,8 +185,8 @@ def _kernel(x_ref, mod_ref, wqkv_l_ref, bqkv_l_ref, wout_l_ref, bout_l_ref,
                 qs = [rope_res(blk(qkv, r)[:, :C], r) for r in range(L)]
                 ks = [rope_res(blk(qkv, r)[:, C:2 * C], r) for r in range(L)]
             vs = [blk(qkv, r)[:, 2 * C:] for r in range(L)]
-            ks.append(rope_res(jnp.broadcast_to(bkl_ref[...], (Tp, C)).astype(dt), L))
-            vs.append(jnp.broadcast_to(bvl_ref[...], (Tp, C)).astype(dt))
+            ks.append(rope_res(jnp.broadcast_to(bkl, (Tp, C)).astype(dt), L))
+            vs.append(jnp.broadcast_to(bvl, (Tp, C)).astype(dt))
             q_all = jnp.concatenate(qs, axis=0)  # (R, C), i-major rows
 
             Sd = S.astype(dt)
@@ -179,20 +221,23 @@ def _kernel(x_ref, mod_ref, wqkv_l_ref, bqkv_l_ref, wout_l_ref, bout_l_ref,
             att1 = acc.astype(dt)  # (R, C)
         else:
             att1 = qkv[:, 2 * C:]
-        X1 = (X.astype(jnp.float32) + gatev(2) * matmul(att1, wout_l_ref, bout_l_ref)).astype(dt)
-    else:
+        X1 = (X.astype(jnp.float32) + gatev(2) * matmul(att1, wout_l, bout_l)).astype(dt)
+      else:
         X1 = X
 
-    # ---- stage 2: frame attention over Tp, residues independent ----
-    # Grouped-stack core per residue (ops/residue... see _grouped_attend);
-    # RoPE runs once over all L*Tp stacked rows instead of per residue
-    # (r3: merging the per-(r, g) softmax chains measured slower — the
-    # grouped core's softmax surface is already the right granularity).
-    if "2" in stages:
-        qkv = matmul(modln(X1, 3), wqkv_t_ref, bqkv_t_ref).astype(dt)  # (R, 3Cp)
+      # ---- stage 2: frame attention over Tp, residues independent ----
+      # Grouped-stack core per residue (ops/residue... see _grouped_attend);
+      # RoPE runs once over all L*Tp stacked rows instead of per residue
+      # (r3: merging the per-(r, g) softmax chains measured slower — the
+      # grouped core's softmax surface is already the right granularity).
+      if "2" in stages:
+        qkv = matmul(modln(X1, 3), wqkv_t, bqkv_t).astype(dt)  # (R, 3Cp)
         if "a" not in stages:
-            bk_blk = rope_t(jnp.broadcast_to(bkt_ref[...], (8, Cp)).astype(dt), Tp, 8)
-            bv_blk = jnp.broadcast_to(bvt_ref[...], (8, Cp)).astype(dt)
+            # bias-token block width = whatever the host padded the key axis
+            # to (8 rows, or up to the next 128-lane multiple — "W" probe)
+            BKT = bias_t_ref.shape[2] - Tp
+            bk_blk = rope_t(jnp.broadcast_to(bkt, (BKT, Cp)).astype(dt), Tp, BKT)
+            bv_blk = jnp.broadcast_to(bvt, (BKT, Cp)).astype(dt)
             if "R" in stages:  # perf probe: rope ablated
                 q_all, k_all = qkv[:, :Cp], qkv[:, Cp:2 * Cp]
             else:
@@ -221,61 +266,93 @@ def _kernel(x_ref, mod_ref, wqkv_l_ref, bqkv_l_ref, wout_l_ref, bout_l_ref,
             att2 = jnp.concatenate(atts, axis=0)  # (R, Cp)
         else:
             att2 = qkv[:, 2 * Cp:]
-        X2 = (X1.astype(jnp.float32) + gatev(5) * matmul(att2, wout_t_ref, bout_t_ref)).astype(dt)
-    else:
+        X2 = (X1.astype(jnp.float32) + gatev(5) * matmul(att2, wout_t, bout_t)).astype(dt)
+      else:
         X2 = X1
 
-    # ---- stage 3: MLP ----
-    if "3" in stages:
-        a = matmul(modln(X2, 6), w1_ref, b1_ref)  # (R, 4C) f32
+      # ---- stage 3: MLP ----
+      if "3" in stages:
+        a = matmul(modln(X2, 6), w1, b1)  # (R, 4C) f32
         # gelu stays f32: a bf16 erf chain fails to lower (Mosaic rejects
         # bf16 cmpf for jnp.sign) — measured dead end, PERF.md r3
         a = a * 0.5 * (1.0 + _erf(a * (2.0**-0.5)))
-        y = matmul(a.astype(dt), w2_ref, b2_ref)
+        y = matmul(a.astype(dt), w2, b2)
         OUT = X2.astype(jnp.float32) + gatev(8) * y
-    else:
+      else:
         OUT = X2.astype(jnp.float32)
 
-    # stage-input residuals for the fused Pallas backward (stacked layout,
-    # ops/fused_layer_bwd.py): X1 feeds the frame-attention backward, X2 the
-    # MLP backward; stage 1 recomputes from the saved kernel input itself
-    if res_refs:
-        x1_ref, x2_ref = res_refs
-        x1_ref[0] = X1
-        x2_ref[0] = X2.astype(x2_ref.dtype)
+      # stage-input residuals for the fused Pallas backward (stacked layout,
+      # ops/fused_layer_bwd.py): X1 feeds the frame-attention backward, X2
+      # the MLP backward; stage 1 recomputes from the saved layer input,
+      # which for layers past the first is saved here in trunk layout
+      if res_refs:
+        if NLt:
+            x1_ref, x2_ref, xin_ref = res_refs
+            x1_ref[0, 0] = X1
+            x2_ref[0, 0] = X2.astype(x2_ref.dtype)
 
-    # unstack rows -> lanes
-    for r in range(L):
-        o_ref[0, :, r * C:(r + 1) * C] = blk(OUT, r).astype(o_ref.dtype)
+            @pl.when(li_s < NLt - 1)
+            def _(OUT=OUT):
+                # xin block (b, min(i, NL-2)): at i = NL-1 the revisited
+                # block simply persists — no store, no contamination
+                for r in range(L):
+                    xin_ref[0, 0, :, r * C:(r + 1) * C] = blk(OUT, r).astype(xin_ref.dtype)
+        elif NL == 1:
+            x1_ref, x2_ref = res_refs
+            x1_ref[0] = X1
+            x2_ref[0] = X2.astype(x2_ref.dtype)
+        else:
+            x1_ref, x2_ref, xin_ref = res_refs
+            x1_ref[0, li] = X1
+            x2_ref[0, li] = X2.astype(x2_ref.dtype)
+            if li < NL - 1:
+                for r in range(L):
+                    xin_ref[0, li, :, r * C:(r + 1) * C] = blk(OUT, r).astype(xin_ref.dtype)
 
+      # next layer consumes this layer's output (stacked rows stay in VMEM)
+      X = OUT.astype(dt)
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "T", "L", "interpret", "stages",
-                                             "padded_io", "save_residuals"))
-def _pallas_fwd(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_t, bout_t,
-                w1, b1, w2, b2, bkl, bvl, bkt, bvt, mask,
-                num_heads: int, T: int, L: int, interpret: bool = False,
-                stages: str = "123", padded_io: bool = False,
-                save_residuals: bool = False):
-    """``padded_io``: x arrives (B, Tp, L*C) already frame-padded and the
-    result is returned in the same layout — the caller keeps the WHOLE trunk
-    padded so the per-layer pad/slice (which blocks XLA from cancelling the
-    (B, T*L, C) <-> (B, T, L*C) boundary relayouts) happens once per
-    forward, not once per layer."""
-    if padded_io:
-        B, _, LC = x.shape
-        C = LC // L
+    if NLt:
+        @pl.when(li_s < NLt - 1)
+        def _(X=X):
+            xbuf[...] = X
+
+        @pl.when(li_s == NLt - 1)
+        def _(X=X):
+            for r in range(L):
+                o_ref[0, :, r * C:(r + 1) * C] = blk(X, r).astype(o_ref.dtype)
     else:
-        B, N, C = x.shape
+        # unstack rows -> lanes
+        for r in range(L):
+            o_ref[0, :, r * C:(r + 1) * C] = blk(X, r).astype(o_ref.dtype)
+
+
+def _trunk_call(x, mods, ws, mask, num_heads: int, T: int, L: int,
+                interpret: bool = False, stages: str = "123",
+                save_residuals: bool = False):
+    """One pallas_call over ``NL`` layers. ``x`` (B, Tp, L*C) frame-padded;
+    ``mods`` (B, NL, 9C); ``ws`` = 16-tuple of NL-stacked weights in their
+    original (unpadded-head) shapes. Returns the padded-trunk output, plus
+    (x1s, x2s[, x_ins]) residuals when ``save_residuals``."""
+    B, _, LC = x.shape
+    C = LC // L
+    NL = mods.shape[1] // (9 * C) if mods.ndim == 2 else mods.shape[1]
+    (wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_t, bout_t,
+     w1, b1, w2, b2, bkl, bvl, bkt, bvt) = ws
     D = C // num_heads
-    F = w1.shape[1]
+    F = w1.shape[-1]
     J = L + 1
     Tp = -(-T // 8) * 8
-    TKt = Tp + 8
-
-    if not padded_io:
-        x = x.reshape(B, T, L * C)
-        if Tp != T:
-            x = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
+    # widen the bias-token block to a 128-lane-multiple key axis when the
+    # padding is small (<= 24 masked rows): the stage-2 logits/p/PV surfaces
+    # then tile exactly (measured 0.681 -> 0.677 ms at the bench shape; at
+    # larger Tp the extra masked-key flops outweigh the alignment)
+    tk128 = -(-(Tp + 8) // 128) * 128
+    if tk128 - (Tp + 8) <= 24:
+        TKt = tk128
+    else:
+        TKt = Tp + 8
+    BKT = TKt - Tp
 
     # residue-attention additive bias (B, Tp, J): mask (B, T, L) keys + the
     # always-attendable bias token
@@ -299,19 +376,20 @@ def _pallas_fwd(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_t, 
     Cp = H * Dp
 
     def dpad(a, part_shape, axis):
-        """pad the per-head D lanes of ``a`` to Dp and flatten back."""
+        """pad the per-head D lanes of ``a`` to Dp and flatten back
+        (``a`` carries a leading NL dim)."""
         if Dp == D:
             return a
-        a = a.reshape(part_shape)
+        a = a.reshape((NL,) + part_shape)
         pads = [(0, 0)] * a.ndim
-        pads[axis] = (0, Dp - D)
+        pads[axis + 1] = (0, Dp - D)
         return jnp.pad(a, pads)
 
-    wqkv_t_p = dpad(wqkv_t, (C, 3, H, D), 3).reshape(C, 3 * Cp)
-    bqkv_t_p = dpad(bqkv_t.reshape(-1), (3, H, D), 2).reshape(1, 3 * Cp)
-    wout_t_p = dpad(wout_t, (H, D, C), 1).reshape(Cp, C)
-    bkt_p = dpad(bkt.reshape(-1), (H, D), 1).reshape(1, Cp)
-    bvt_p = dpad(bvt.reshape(-1), (H, D), 1).reshape(1, Cp)
+    wqkv_t_p = dpad(wqkv_t, (C, 3, H, D), 3).reshape(NL, C, 3 * Cp)
+    bqkv_t_p = dpad(bqkv_t.reshape(NL, -1), (3, H, D), 2).reshape(NL, 1, 3 * Cp)
+    wout_t_p = dpad(wout_t, (H, D, C), 1).reshape(NL, Cp, C)
+    bkt_p = dpad(bkt.reshape(NL, -1), (H, D), 1).reshape(NL, 1, Cp)
+    bvt_p = dpad(bvt.reshape(NL, -1), (H, D), 1).reshape(NL, 1, Cp)
 
     def tpad_np(base):
         """(n, C) rope table -> (n, Cp) with cos = sin = 0 on pad lanes."""
@@ -322,7 +400,7 @@ def _pallas_fwd(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_t, 
 
     def ttable(base):
         ext_q = base[list(range(T)) + [T - 1] * (Tp - T)] if Tp != T else base[:T]
-        return np.concatenate([ext_q, np.tile(base[T:T + 1], (8, 1))], axis=0)
+        return np.concatenate([ext_q, np.tile(base[T:T + 1], (BKT, 1))], axis=0)
 
     cosr = jnp.asarray(cosr_np, jnp.float32).reshape(J, 1, C)
     sinr = jnp.asarray(sinr_np, jnp.float32).reshape(J, 1, C)
@@ -334,58 +412,139 @@ def _pallas_fwd(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_t, 
     S = jnp.asarray(s_np, jnp.float32)
 
     Tp_rows = L * Tp
-    out_specs = pl.BlockSpec((1, Tp, L * C), lambda b: (b, 0, 0))
+    stream = NL > 1
+
+    def rep(shape):
+        n = len(shape)
+        return pl.BlockSpec(shape, lambda *g, _n=n: (0,) * _n)
+
+    def bat(shape):
+        n = len(shape) - 1
+        return pl.BlockSpec(shape, lambda b, *g, _n=n: (b,) + (0,) * _n)
+
+    if stream:
+        # streaming trunk: grid (B, NL) — program (b, i) pulls layer i's
+        # weights through its BlockSpec (double-buffered against compute)
+        # while the activation persists in VMEM scratch across i
+        def wspec(shape):
+            n = len(shape)
+            return pl.BlockSpec((1,) + shape, lambda b, i, _n=n: (i,) + (0,) * _n)
+
+        mod_spec = pl.BlockSpec((1, 1, 9, C), lambda b, i: (b, i, 0, 0))
+        grid = (B, NL)
+        kernel_kw = dict(num_layers=1, stream_layers=NL)
+        scratch = [pltpu.VMEM((Tp_rows, C), x.dtype)]
+    else:
+        def wspec(shape):
+            return rep((NL,) + shape)
+
+        mod_spec = pl.BlockSpec((1, NL, 9, C), lambda b: (b, 0, 0, 0))
+        grid = (B,)
+        kernel_kw = dict(num_layers=NL)
+        scratch = []
+
+    out_specs = bat((1, Tp, L * C))
     out_shape = jax.ShapeDtypeStruct((B, Tp, L * C), x.dtype)
     if save_residuals:
-        res_spec = pl.BlockSpec((1, Tp_rows, C), lambda b: (b, 0, 0))
-        res_shape = jax.ShapeDtypeStruct((B, Tp_rows, C), x.dtype)
-        out_specs = [out_specs, res_spec, res_spec]
-        out_shape = [out_shape, res_shape, res_shape]
+        if NL == 1:
+            res_spec = pl.BlockSpec((1, Tp_rows, C), lambda b: (b, 0, 0))
+            res_shape = jax.ShapeDtypeStruct((B, Tp_rows, C), x.dtype)
+            out_specs = [out_specs, res_spec, res_spec]
+            out_shape = [out_shape, res_shape, res_shape]
+        else:
+            res_spec = pl.BlockSpec((1, 1, Tp_rows, C), lambda b, i: (b, i, 0, 0))
+            res_shape = jax.ShapeDtypeStruct((B, NL, Tp_rows, C), x.dtype)
+            # block (b, min(i, NL-2)): the final program revisits the last
+            # block and stores nothing, so it flushes unchanged
+            xin_spec = pl.BlockSpec(
+                (1, 1, Tp, L * C),
+                lambda b, i: (b, jnp.minimum(i, NL - 2), 0, 0))
+            xin_shape = jax.ShapeDtypeStruct((B, NL - 1, Tp, L * C), x.dtype)
+            out_specs = [out_specs, res_spec, res_spec, xin_spec]
+            out_shape = [out_shape, res_shape, res_shape, xin_shape]
 
     out = pl.pallas_call(
         functools.partial(_kernel, num_heads=num_heads, head_dim=D, channels=C,
-                          stages=stages),
-        grid=(B,),
+                          stages=stages, **kernel_kw),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((1, Tp, L * C), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, 9, C), lambda b: (b, 0, 0)),
-            pl.BlockSpec((C, 3 * C), lambda b: (0, 0)),
-            pl.BlockSpec((1, 3 * C), lambda b: (0, 0)),
-            pl.BlockSpec((C, C), lambda b: (0, 0)),
-            pl.BlockSpec((1, C), lambda b: (0, 0)),
-            pl.BlockSpec((C, 3 * Cp), lambda b: (0, 0)),
-            pl.BlockSpec((1, 3 * Cp), lambda b: (0, 0)),
-            pl.BlockSpec((Cp, C), lambda b: (0, 0)),
-            pl.BlockSpec((1, C), lambda b: (0, 0)),
-            pl.BlockSpec((C, F), lambda b: (0, 0)),
-            pl.BlockSpec((1, F), lambda b: (0, 0)),
-            pl.BlockSpec((F, C), lambda b: (0, 0)),
-            pl.BlockSpec((1, C), lambda b: (0, 0)),
-            pl.BlockSpec((1, C), lambda b: (0, 0)),
-            pl.BlockSpec((1, C), lambda b: (0, 0)),
-            pl.BlockSpec((1, Cp), lambda b: (0, 0)),
-            pl.BlockSpec((1, Cp), lambda b: (0, 0)),
-            pl.BlockSpec((1, Tp, J), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, L, TKt), lambda b: (b, 0, 0)),
-            pl.BlockSpec((J, 1, C), lambda b: (0, 0, 0)),
-            pl.BlockSpec((J, 1, C), lambda b: (0, 0, 0)),
-            pl.BlockSpec((TKt, Cp), lambda b: (0, 0)),
-            pl.BlockSpec((TKt, Cp), lambda b: (0, 0)),
-            pl.BlockSpec((1, C), lambda b: (0, 0)),
-            pl.BlockSpec((1, Cp), lambda b: (0, 0)),
-            pl.BlockSpec((C, num_heads), lambda b: (0, 0)),
-            pl.BlockSpec((num_heads, C), lambda b: (0, 0)),
+            bat((1, Tp, L * C)),
+            mod_spec,
+            wspec((C, 3 * C)),
+            wspec((1, 3 * C)),
+            wspec((C, C)),
+            wspec((1, C)),
+            wspec((C, 3 * Cp)),
+            wspec((1, 3 * Cp)),
+            wspec((Cp, C)),
+            wspec((1, C)),
+            wspec((C, F)),
+            wspec((1, F)),
+            wspec((F, C)),
+            wspec((1, C)),
+            wspec((1, C)),
+            wspec((1, C)),
+            wspec((1, Cp)),
+            wspec((1, Cp)),
+            bat((1, Tp, J)),
+            bat((1, L, TKt)),
+            rep((J, 1, C)),
+            rep((J, 1, C)),
+            rep((TKt, Cp)),
+            rep((TKt, Cp)),
+            rep((1, C)),
+            rep((1, Cp)),
+            rep((C, num_heads)),
+            rep((num_heads, C)),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(x, mod.reshape(B, 9, C),
-      wqkv_l, bqkv_l.reshape(1, 3 * C), wout_l, bout_l.reshape(1, C),
-      wqkv_t_p, bqkv_t_p, wout_t_p, bout_t.reshape(1, C),
-      w1, b1.reshape(1, F), w2, b2.reshape(1, C),
-      bkl.reshape(1, C).astype(x.dtype), bvl.reshape(1, C).astype(x.dtype),
+        # streamed weights + residual write buffers exceed the compiler's
+        # default 16M scoped cap; lift it (128M physical)
+        **({"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024)} if NL > 1 else {}),
+    )(x, mods.reshape(B, NL, 9, C),
+      wqkv_l, bqkv_l.reshape(NL, 1, 3 * C), wout_l, bout_l.reshape(NL, 1, C),
+      wqkv_t_p, bqkv_t_p, wout_t_p, bout_t.reshape(NL, 1, C),
+      w1, b1.reshape(NL, 1, F), w2, b2.reshape(NL, 1, C),
+      bkl.reshape(NL, 1, C).astype(x.dtype), bvl.reshape(NL, 1, C).astype(x.dtype),
       bkt_p.astype(x.dtype), bvt_p.astype(x.dtype),
       bias_l, bias_t, cosr, sinr, cost, sint, fh, fht, S, S.T)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "T", "L", "interpret", "stages",
+                                             "padded_io", "save_residuals"))
+def _pallas_fwd(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_t, bout_t,
+                w1, b1, w2, b2, bkl, bvl, bkt, bvt, mask,
+                num_heads: int, T: int, L: int, interpret: bool = False,
+                stages: str = "123", padded_io: bool = False,
+                save_residuals: bool = False):
+    """Single-layer whole-layer kernel (NL = 1 view of _trunk_call).
+    ``padded_io``: x arrives (B, Tp, L*C) already frame-padded and the
+    result is returned in the same layout — the caller keeps the WHOLE trunk
+    padded so the per-layer pad/slice (which blocks XLA from cancelling the
+    (B, T*L, C) <-> (B, T, L*C) boundary relayouts) happens once per
+    forward, not once per layer."""
+    if padded_io:
+        B, _, LC = x.shape
+        C = LC // L
+    else:
+        B, N, C = x.shape
+    Tp = -(-T // 8) * 8
+
+    if not padded_io:
+        x = x.reshape(B, T, L * C)
+        if Tp != T:
+            x = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
+
+    ws = tuple(w[None] for w in (wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t,
+                                 wout_t, bout_t, w1, b1, w2, b2, bkl, bvl, bkt, bvt))
+    out = _trunk_call(x, mod.reshape(B, 1, 9 * C), ws, mask, num_heads, T, L,
+                      interpret=interpret, stages=stages,
+                      save_residuals=save_residuals)
     if save_residuals:
         out, x1s, x2s = out
         if not padded_io:
@@ -588,3 +747,114 @@ def fused_layer(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_t,
             return _pad_trunk(flat, T, L, C)
         return _layer_kernels(*args, num_heads, T, L)
     return xla_path(*args)
+
+
+# ---------------------------------------------------------------------------
+# whole-trunk mega-kernel: every layer in ONE pallas_call
+# ---------------------------------------------------------------------------
+
+# all layers' weights must fit VMEM alongside the activations; beyond this
+# the per-layer whole-layer kernel (which streams one layer's weights at a
+# time) is the right shape
+_TRUNK_WEIGHT_BYTES = 48 * 1024 * 1024
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _fused_trunk_pallas(x, mods, ws, mask, num_heads, T, L, interpret=False):
+    return _trunk_call(x, mods, ws, mask, num_heads, T, L, interpret=interpret)
+
+
+def _ft_fwd(x, mods, ws, mask, num_heads, T, L, interpret):
+    out, x1s, x2s, x_ins = _trunk_call(x, mods, ws, mask, num_heads, T, L,
+                                       interpret=interpret, save_residuals=True)
+    return out, (x, mods, ws, mask, x1s, x2s, x_ins)
+
+
+def _ft_bwd(num_heads, T, L, interpret, res, grad):
+    """Reverse per-layer sweep through the fused Pallas stage backwards
+    (ops/fused_layer_bwd.py) using the mega-kernel's saved inter-layer
+    activations — no forward recompute."""
+    from .fused_layer_bwd import fused_layer_bwd
+
+    x, mods, ws, mask, x1s, x2s, x_ins = res
+    B = x.shape[0]
+    NL = x1s.shape[1]
+    C = x.shape[2] // L
+    mods_r = mods.reshape(B, NL, 9 * C)
+
+    g = grad
+    dmods = [None] * NL
+    dws = [[None] * NL for _ in range(16)]
+    for i in reversed(range(NL)):
+        x_in = x if i == 0 else x_ins[:, i - 1]
+        w_i = tuple(w[i] for w in ws)
+        grads = fused_layer_bwd(x_in, mods_r[:, i], *w_i, mask,
+                                x1s[:, i], x2s[:, i], g,
+                                num_heads=num_heads, T=T, L=L,
+                                interpret=interpret)
+        g = grads[0]
+        dmods[i] = grads[1]
+        for k in range(16):
+            dws[k][i] = grads[2 + k]
+    dmods_st = jnp.stack(dmods, axis=1).reshape(mods.shape).astype(mods.dtype)
+    dws_st = tuple(jnp.stack(dws[k]).reshape(jnp.shape(ws[k])).astype(ws[k].dtype)
+                   for k in range(16))
+    return (g.astype(x.dtype), dmods_st, dws_st, None)
+
+
+_fused_trunk_pallas.defvjp(_ft_fwd, _ft_bwd)
+
+
+def fused_trunk(x, mods, ws, mask, *, num_heads: int, tl: tuple,
+                force_xla: bool = False, force_pallas: bool = False):
+    """The ENTIRE trunk (all LatentMDGenLayers) as one op. x (B, Tp, L*C)
+    frame-padded trunk; mods (B, NL*9C) — every layer's AdaLN output; ``ws``
+    a 16-tuple of NL-stacked weights in fused_layer's argument order
+    (wqkv_l .. bvt, scales folded; see denoiser.make_trunk_pack). One Pallas
+    grid streams the layers per batch element (inter-layer activations never
+    leave VMEM); ineligible shapes fall back to the per-layer
+    ``fused_layer`` loop, identical math.
+    Reference trunk loop: src/mdgen/model/latent_model.py:456-493."""
+    import os
+
+    from ..parallel.kernel_sharding import get_kernel_mesh, shard_map_batch0
+
+    T, L = tl
+    NL = ws[0].shape[0]
+    C = x.shape[2] // L
+    env = os.environ.get("MDGEN_FUSED_LAYER", "")
+    force_xla = force_xla or env == "xla"
+    force_pallas = force_pallas or env == "pallas"
+    wbytes = sum(int(np.prod(w.shape)) * w.dtype.itemsize for w in ws)
+    use_mega = NL > 1 and (force_pallas or (
+        not force_xla and jax.default_backend() == "tpu" and C % 128 == 0
+        and L <= MAX_L and T <= MAX_T and wbytes <= _TRUNK_WEIGHT_BYTES
+        and os.environ.get("MDGEN_FUSED_TRUNK", "") != "layer"
+    ))
+
+    def per_layer(x_, mods_, *flat_ws):
+        ws_ = tuple(flat_ws)
+        h = x_
+        for i in range(NL):
+            h = fused_layer(h, mods_[:, i * 9 * C:(i + 1) * 9 * C],
+                            *(w[i] for w in ws_), mask,
+                            num_heads=num_heads, tl=(T, L),
+                            force_xla=force_xla, padded_io=True)
+        return h
+
+    if use_mega:
+        interp = jax.default_backend() != "tpu"
+
+        def local(x_, mods_, *flat_ws):
+            return _fused_trunk_pallas(x_, mods_, tuple(flat_ws[:-1]),
+                                       flat_ws[-1], num_heads, T, L, interp)
+
+        if jax.device_count() > 1 or get_kernel_mesh() is not None:
+            batched = (True, True) + (False,) * 16 + (True,)
+            out = shard_map_batch0(local, batched, x, mods, *ws, mask)
+            if out is not None:
+                return out
+            if not force_pallas:
+                return per_layer(x, mods, *ws)
+        return local(x, mods, *ws, mask)
+    return per_layer(x, mods, *ws)

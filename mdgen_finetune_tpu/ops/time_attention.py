@@ -90,6 +90,13 @@ def _grouped_attend(q_r, kbT_r, vb_r, bias, H, D, probes: str = ""):
     Gh = max(1, 128 // D)
     while Gh > 1 and H % Gh:
         Gh -= 1  # even groups: a ragged tail group costs more than 128-W lanes
+    # "H"/"I" probes: 2x/4x wider head groups — halves/quarters the number of
+    # dependent logits->softmax->PV chains at the cost of proportionally more
+    # wasted PV/collapse lanes (the stacked rows span more heads)
+    if "H" in probes and H % (Gh * 2) == 0:
+        Gh *= 2
+    if "I" in probes and H % (Gh * 4) == 0:
+        Gh *= 4
     TK = kbT_r.shape[1]
     outs = []
     h0 = 0
