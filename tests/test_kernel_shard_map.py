@@ -108,3 +108,42 @@ def test_indivisible_batch_still_correct():
         got = fused_layer(x, mod, *a.values(), mask, num_heads=H, tl=tl,
                           force_pallas=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5, rtol=1e-4)
+
+
+def test_fused_trunk_shard_map_matches_per_layer():
+    """Streaming whole-trunk kernel under the dp x sp mesh: forward and
+    weight/x gradients match the single-device per-layer XLA composition."""
+    from mdgen_finetune_tpu.ops.fused_layer import (
+        _pad_trunk, _unpad_trunk, fused_trunk)
+
+    mesh = make_mesh(4, 2)
+    NL = 2
+    x, _, a0, mask, tl, H = _inputs(B=8, T=10, L=3, masked=True)
+    T, L = tl
+    C = x.shape[-1]
+    _, _, a1, _, _, _ = _inputs(B=8, T=10, L=3, seed=1)
+    rng = np.random.default_rng(3)
+    mods = jnp.asarray(rng.normal(size=(8, NL * 9 * C)), jnp.float32) * 0.2
+    ws = tuple(jnp.stack([a0[k], a1[k]]) for k in a0)
+
+    def ref_fn(x, mods, *ws_flat):
+        h = x
+        for i in range(NL):
+            h = _layer_xla(h, mods[:, i * 9 * C:(i + 1) * 9 * C],
+                           *(w[i] for w in ws_flat), mask, H, T, L)
+        return h
+
+    def trunk_fn(x, mods, *ws_flat):
+        with kernel_mesh(mesh):
+            out = fused_trunk(_pad_trunk(x, T, L, C), mods, tuple(ws_flat),
+                              mask, num_heads=H, tl=tl, force_pallas=True)
+        return _unpad_trunk(out, T, L, C)
+
+    ref = ref_fn(x, mods, *ws)
+    got = trunk_fn(x, mods, *ws)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5, rtol=1e-4)
+
+    gp = jax.grad(lambda *aa: jnp.sum(trunk_fn(*aa) ** 2), argnums=(0, 1, 2, 10))(x, mods, *ws)
+    gx = jax.grad(lambda *aa: jnp.sum(ref_fn(*aa) ** 2), argnums=(0, 1, 2, 10))(x, mods, *ws)
+    for p, r in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(r), atol=2e-3, rtol=1e-3)
