@@ -393,10 +393,13 @@ def _blocked_fits(T: int, C: int) -> bool:
 
 
 # ---------------------------------------------------------------------------
-def _xla_impl(q, k, v, bias_k, bias_v, key_valid, num_heads: int):
+def _xla_impl(q, k, v, bias_k, bias_v, key_valid, num_heads: int,
+              attend=None):
     """Reference composition: transpose to (B*L, T, ...), bias append, rope,
     masked softmax attention, transpose back. Used on CPU, at large L/T, and
-    as the VJP backward of the Pallas forward."""
+    as the VJP backward of the Pallas forward. ``attend`` swaps the
+    attention core (default XLA batched-GEMM; the long-T VJP passes the
+    flash kernel so the backward never materializes (B*L*H, T, T) logits)."""
     from ..models.rope import apply_rope
 
     B, T, L, C = q.shape
@@ -418,7 +421,8 @@ def _xla_impl(q, k, v, bias_k, bias_v, key_valid, num_heads: int):
     valid = jnp.concatenate(
         [key_valid.reshape(B * L, T).astype(qh.dtype), jnp.ones((B * L, 1), qh.dtype)], axis=1
     )
-    out = _attention_xla(qh, kh, vh, valid)  # (B*L, H, T, D)
+    core = _attention_xla if attend is None else attend
+    out = core(qh, kh, vh, valid)  # (B*L, H, T, D)
     out = out.transpose(0, 2, 1, 3).reshape(B, L, T, C).transpose(0, 2, 1, 3)
     return out
 
@@ -434,8 +438,17 @@ def _ta_fwd(q, k, v, bias_k, bias_v, key_valid, num_heads, interpret):
 
 
 def _ta_bwd(num_heads, interpret, res, g):
+    from .fused_attention import fused_attention
+
     q, k, v, bias_k, bias_v, key_valid = res
-    _, vjp = jax.vjp(lambda *a: _xla_impl(*a, num_heads), q, k, v, bias_k, bias_v, key_valid)
+    # flash core: self-routing — at short T it takes the XLA batched-GEMM
+    # path (identical to the old backward); at long T it uses the Pallas
+    # flash fwd + custom-VJP bwd, so differentiating the blocked long-T
+    # forward no longer materializes the (B*L*H, T, T) logit gradients
+    # (r3: T=1000 B=2 grad-ckpt train step 72.6 -> see PERF.md)
+    _, vjp = jax.vjp(
+        lambda *a: _xla_impl(*a, num_heads, attend=fused_attention),
+        q, k, v, bias_k, bias_v, key_valid)
     dq, dk, dv, dbk, dbv, _ = vjp(g)
     return dq, dk, dv, dbk, dbv, None
 
