@@ -381,14 +381,25 @@ class LatentMDGen(nn.Module):
 
         x_d = x[..., -20:].mean(axis=1) if task.design else None  # (B, L, 20)
 
+        # flat (B, T*L, C) embed + trunk: a physical (..., L, C) tensor with
+        # small L pads L to 8 sublanes on TPU (2x memory on every embed-stage
+        # op, plus relayouts at the trunk boundary), so the latent projection
+        # and every conditioning add run on the flat rows — position/time/
+        # encoder terms are tiled to rows (identical values to the broadcast
+        # adds; row t*L+l <- (t, l))
+        B, T, L = mask.shape
         x = x.astype(self.dtype)
-        h = self.latent_to_emb(x)
+        h = self.latent_to_emb(x.reshape(B, T * L, x.shape[-1]))
+        C = h.shape[-1]
         if cfg.model.abs_pos_emb:
-            h = h + self.pos_embed[None, None, : h.shape[2]].astype(self.dtype)
+            pos = self.pos_embed[:L].astype(self.dtype)  # (L, C)
+            h = h + jnp.tile(pos, (T, 1))[None]
         if cfg.model.abs_time_emb:
-            h = h + self.time_embed[None, : h.shape[1], None].astype(self.dtype)
+            tim = self.time_embed[:T].astype(self.dtype)  # (T, C)
+            h = h + jnp.repeat(tim, L, axis=0)[None]
         if x_cond is not None:
-            h = h + self.cond_to_emb(x_cond.astype(self.dtype)) + self.mask_to_emb(x_cond_mask)
+            h = (h + self.cond_to_emb(x_cond.astype(self.dtype).reshape(B, T * L, -1))
+                 + self.mask_to_emb(x_cond_mask.reshape(B, T * L)))
 
         t_emb = self.t_embedder(t * cfg.model.time_multiplier).astype(self.dtype)  # (B, C)
 
@@ -396,12 +407,7 @@ class LatentMDGen(nn.Module):
             enc = self.run_ipa(
                 t_emb, mask[:, 0], start_frames, end_frames, aatype, x_d=x_d
             )
-            h = h + enc[:, None]
-
-        # flat (B, T*L, C) trunk: small L pads to 8 sublanes in any physical
-        # (..., L, C) tensor, so every trunk op runs on the flat view; the
-        # attention kernels' internal reshapes cancel against this one
-        B, T, L, C = h.shape
+            h = h + jnp.tile(enc, (1, T, 1))  # row t*L+l <- enc[:, l]
         if self.fused_trunk:
             # padded-trunk fast path: the frame-pad to Tp (and its inverse
             # slice) happens ONCE here instead of inside every fused layer,
@@ -426,7 +432,6 @@ class LatentMDGen(nn.Module):
                     h = layer(h, t_emb, mask, start_frames)
             h = h[:, :T].reshape(B, T * L, C)
         else:
-            h = h.reshape(B, T * L, C)
             for layer in self.layers:
                 h = layer(h, t_emb, mask, start_frames)
 
