@@ -77,7 +77,7 @@ def main():
     # repeated (executable, args) pairs, which would inflate the number.
     # Pipelined calls amortize the single end sync (~25 ms tunnel RTT,
     # PERF.md "relay measurement gotchas") to < 2% of the timed region.
-    n_calls = 2
+    n_calls = 4
     xs = [jnp.asarray(rng.normal(size=x.shape), jnp.float32) for _ in range(n_calls)]
     jax.block_until_ready(xs)  # uploads land before the timed region
     start = time.perf_counter()
