@@ -119,6 +119,33 @@ def _fold_fused_args(mha_l, mha_t, fc1, fc2, num_heads: int, dt):
             bias_kt.astype(dt), bias_vt.astype(dt))
 
 
+def _final_xla(h, modf, wfin, bfin, dtype):
+    """FinalLayer math on raw weights (bit-identical to models.layers.
+    FinalLayer): non-affine f32 LN -> bf16 modulate -> zero-init linear.
+    ``modf`` (B, 2C) = the adaLN projection of silu(t_emb)."""
+    sh, sc = jnp.split(modf, 2, axis=-1)
+    x = modulate(layer_norm(h), sh, sc)
+    return x @ wfin.astype(dtype) + bfin.astype(dtype)
+
+
+class FinalLayerParams(nn.Module):
+    """FinalLayer's parameter tree without the compute (same names/inits —
+    checkpoint-interchangeable); the parent trunk folds the output head into
+    the streaming kernel's last program or applies _final_xla."""
+
+    out_channels: int
+    cfg: MDGenConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        C = self.cfg.model.embed_dim
+        wmod, bmod = DenseParams(2 * C, C, kernel_init=zero_init, name="adaLN")()
+        wfin, bfin = DenseParams(self.out_channels, C, kernel_init=zero_init,
+                                 name="linear")()
+        return wmod, bmod, wfin, bfin
+
+
 class FusedLayerParams(nn.Module):
     """LatentMDGenLayer's fused-branch parameter tree WITHOUT the layer
     compute — identical submodule names/shapes/inits, so checkpoints are
@@ -300,7 +327,13 @@ class LatentMDGen(nn.Module):
             ]
 
         if not (task.dynamic_mpnn or task.mpnn):
-            self.emb_to_latent = FinalLayer(self.latent_dim, name="emb_to_latent", dtype=self.dtype)
+            if self.parent_trunk:
+                # raw-weight twin: the output head folds into the streaming
+                # trunk kernel's last program (or runs as _final_xla)
+                self.emb_to_latent = FinalLayerParams(
+                    self.latent_dim, cfg, name="emb_to_latent", dtype=self.dtype)
+            else:
+                self.emb_to_latent = FinalLayer(self.latent_dim, name="emb_to_latent", dtype=self.dtype)
         if task.design:
             self.fc1 = dense(C, name="fc1", dtype=self.dtype)
             self.fc2 = dense(C, name="fc2", dtype=self.dtype)
@@ -354,10 +387,21 @@ class LatentMDGen(nn.Module):
         if not self.parent_trunk:
             return None
         packs = [layer() for layer in self.layers]
-        wmods = jnp.concatenate([p[0][0] for p in packs], axis=1).astype(self.dtype)
-        bmods = jnp.concatenate([p[0][1] for p in packs]).astype(self.dtype)
+        # the FinalLayer's 2C adaLN rides in the same concatenated projection
+        # (per-column equality with separate dense calls)
+        fin = None
+        wmod_cols = [p[0][0] for p in packs]
+        bmod_cols = [p[0][1] for p in packs]
+        task = self.cfg.task
+        if not (task.dynamic_mpnn or task.mpnn):
+            wmod2, bmod2, wfin, bfin = self.emb_to_latent()
+            wmod_cols.append(wmod2)
+            bmod_cols.append(bmod2)
+            fin = (wfin, bfin)
+        wmods = jnp.concatenate(wmod_cols, axis=1).astype(self.dtype)
+        bmods = jnp.concatenate(bmod_cols).astype(self.dtype)
         ws = tuple(jnp.stack([p[1][k] for p in packs]) for k in range(16))
-        return (wmods, bmods, ws)
+        return (wmods, bmods, ws, fin)
 
     def __call__(
         self,
@@ -418,24 +462,39 @@ class LatentMDGen(nn.Module):
             if Tp != T:
                 h = jnp.pad(h, ((0, 0), (0, Tp - T), (0, 0)))
             if self.parent_trunk:
-                # every layer's AdaLN in ONE matmul: concat the zero-init
-                # projections' columns (exact per-column equality with the
-                # per-layer dense calls)
-                wmods, bmods, ws = (trunk_pack if trunk_pack is not None
-                                    else self.make_trunk_pack())
+                # every layer's AdaLN (and the FinalLayer's) in ONE matmul:
+                # concat the zero-init projections' columns (exact
+                # per-column equality with the per-layer dense calls)
+                wmods, bmods, ws, fin = (trunk_pack if trunk_pack is not None
+                                         else self.make_trunk_pack())
+                NL = len(self.layers)
                 se = nn.silu(t_emb).astype(self.dtype)
-                mods = se @ wmods + bmods  # (B, NL*9C)
+                mods_all = se @ wmods + bmods  # (B, NL*9C [+ 2C])
+                mods = mods_all[:, :NL * 9 * C]
+                modf = mods_all[:, NL * 9 * C:]
+                if fin is not None and not task.design:
+                    # output head folded into the kernel's last program:
+                    # returns the latent directly, (B, Tp, L*OP) f32
+                    out = fused_trunk(h, mods, ws, mask,
+                                      num_heads=cfg.model.mha_heads, tl=(T, L),
+                                      final=(modf, *fin))
+                    OP = out.shape[2] // L
+                    latent = out.reshape(B, -1, L, OP)[:, :T, :, :self.latent_dim]
+                    return latent.astype(jnp.float32)
                 h = fused_trunk(h, mods, ws, mask,
                                 num_heads=cfg.model.mha_heads, tl=(T, L))
+                h = h[:, :T].reshape(B, T * L, C)
+                if fin is not None:  # design head needs h too
+                    latent = _final_xla(h, modf, *fin, self.dtype).reshape(B, T, L, -1)
             else:
                 for layer in self.layers:
                     h = layer(h, t_emb, mask, start_frames)
-            h = h[:, :T].reshape(B, T * L, C)
+                h = h[:, :T].reshape(B, T * L, C)
         else:
             for layer in self.layers:
                 h = layer(h, t_emb, mask, start_frames)
 
-        if not (task.dynamic_mpnn or task.mpnn):
+        if not (task.dynamic_mpnn or task.mpnn) and not self.parent_trunk:
             latent = self.emb_to_latent(h, t_emb).reshape(B, T, L, -1)
         if task.design:
             x_l = self.fc2(gelu_erf(self.fc1(h))).reshape(B, T, L, C).mean(axis=1)  # pool over frames

@@ -35,14 +35,9 @@ _NEG_INF = -1e9
 _LN_EPS = 1e-6
 
 
-def _kernel(x_ref, mod_ref, wqkv_l_ref, bqkv_l_ref, wout_l_ref, bout_l_ref,
-            wqkv_t_ref, bqkv_t_ref, wout_t_ref, bout_t_ref,
-            w1_ref, b1_ref, w2_ref, b2_ref,
-            bkl_ref, bvl_ref, bkt_ref, bvt_ref,
-            bias_l_ref, bias_t_ref,
-            cosr_ref, sinr_ref, cost_ref, sint_ref, fh_ref, fht_ref, s_ref, st_ref,
-            o_ref, *rest, num_heads: int, head_dim: int, channels: int,
-            stages: str = "123", num_layers: int = 1, stream_layers: int = 0):
+def _kernel(x_ref, mod_ref, *refs, num_heads: int, head_dim: int, channels: int,
+            stages: str = "123", num_layers: int = 1, stream_layers: int = 0,
+            fold_final: bool = False):
     """Row-stacked layout: the (Tp, L*C) input is restacked ONCE to
     (L*Tp, C) so every projection / out-proj / MLP matmul runs as a single
     MXU op with M = L*Tp rows — the r2 per-residue loop ran each matmul at
@@ -66,6 +61,15 @@ def _kernel(x_ref, mod_ref, wqkv_l_ref, bqkv_l_ref, wout_l_ref, bout_l_ref,
     C, H, D = channels, num_heads, head_dim
     NL = num_layers
     NLt = stream_layers
+    if fold_final:
+        modf_ref, wfin_ref, bfin_ref, *refs = refs
+    (wqkv_l_ref, bqkv_l_ref, wout_l_ref, bout_l_ref,
+     wqkv_t_ref, bqkv_t_ref, wout_t_ref, bout_t_ref,
+     w1_ref, b1_ref, w2_ref, b2_ref,
+     bkl_ref, bvl_ref, bkt_ref, bvt_ref,
+     bias_l_ref, bias_t_ref,
+     cosr_ref, sinr_ref, cost_ref, sint_ref, fh_ref, fht_ref, s_ref, st_ref,
+     o_ref, *rest) = refs
     if NLt:
         *res_refs, xbuf = rest
         li_s = pl.program_id(1)
@@ -291,12 +295,18 @@ def _kernel(x_ref, mod_ref, wqkv_l_ref, bqkv_l_ref, wout_l_ref, bout_l_ref,
             x1_ref[0, 0] = X1
             x2_ref[0, 0] = X2.astype(x2_ref.dtype)
 
-            @pl.when(li_s < NLt - 1)
-            def _(OUT=OUT):
-                # xin block (b, min(i, NL-2)): at i = NL-1 the revisited
-                # block simply persists — no store, no contamination
+            if fold_final:
+                # every layer output saved (the folded head's backward
+                # consumes the last one)
                 for r in range(L):
                     xin_ref[0, 0, :, r * C:(r + 1) * C] = blk(OUT, r).astype(xin_ref.dtype)
+            else:
+                @pl.when(li_s < NLt - 1)
+                def _(OUT=OUT):
+                    # xin block (b, min(i, NL-2)): at i = NL-1 the revisited
+                    # block simply persists — no store, no contamination
+                    for r in range(L):
+                        xin_ref[0, 0, :, r * C:(r + 1) * C] = blk(OUT, r).astype(xin_ref.dtype)
         elif NL == 1:
             x1_ref, x2_ref = res_refs
             x1_ref[0] = X1
@@ -319,8 +329,27 @@ def _kernel(x_ref, mod_ref, wqkv_l_ref, bqkv_l_ref, wout_l_ref, bout_l_ref,
 
         @pl.when(li_s == NLt - 1)
         def _(X=X):
-            for r in range(L):
-                o_ref[0, :, r * C:(r + 1) * C] = blk(X, r).astype(o_ref.dtype)
+            if fold_final:
+                # folded output head (bit-identical to models.layers.
+                # FinalLayer): f32 LN -> bf16 modulate -> zero-init linear,
+                # emitted as the f32 latent in OP-lane blocks per residue
+                x32 = X.astype(jnp.float32)
+                mean = jnp.mean(x32, axis=1, keepdims=True)
+                var = jnp.mean(x32 * x32, axis=1, keepdims=True) - mean * mean
+                hn = ((x32 - mean) * jax.lax.rsqrt(var + _LN_EPS)).astype(dt)
+                shf = modf_ref[0, 0:1, :].astype(dt)
+                scf = modf_ref[0, 1:2, :].astype(dt)
+                hn = hn * (1 + scf) + shf
+                y = jax.lax.dot_general(
+                    hn, wfin_ref[...].astype(dt), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(dt) + bfin_ref[...].astype(dt)
+                OPL = wfin_ref.shape[1]
+                for r in range(L):
+                    o_ref[0, :, r * OPL:(r + 1) * OPL] = blk(y, r).astype(o_ref.dtype)
+            else:
+                for r in range(L):
+                    o_ref[0, :, r * C:(r + 1) * C] = blk(X, r).astype(o_ref.dtype)
     else:
         # unstack rows -> lanes
         for r in range(L):
@@ -329,11 +358,16 @@ def _kernel(x_ref, mod_ref, wqkv_l_ref, bqkv_l_ref, wout_l_ref, bout_l_ref,
 
 def _trunk_call(x, mods, ws, mask, num_heads: int, T: int, L: int,
                 interpret: bool = False, stages: str = "123",
-                save_residuals: bool = False):
+                save_residuals: bool = False, final=None):
     """One pallas_call over ``NL`` layers. ``x`` (B, Tp, L*C) frame-padded;
     ``mods`` (B, NL, 9C); ``ws`` = 16-tuple of NL-stacked weights in their
     original (unpadded-head) shapes. Returns the padded-trunk output, plus
-    (x1s, x2s[, x_ins]) residuals when ``save_residuals``."""
+    (x1s, x2s[, x_ins]) residuals when ``save_residuals``. ``final``
+    (streaming mode only) = (modf (B, 2C), wfin (C, out), bfin (out,)):
+    the FinalLayer head runs inside the last program — its f32 LN/modulate/
+    projection never materialize on the full trunk in HBM — and the first
+    output becomes the latent, (B, Tp, L*OP) f32, OP = out rounded to 128
+    lanes."""
     B, _, LC = x.shape
     C = LC // L
     NL = mods.shape[1] // (9 * C) if mods.ndim == 2 else mods.shape[1]
@@ -443,8 +477,22 @@ def _trunk_call(x, mods, ws, mask, num_heads: int, T: int, L: int,
         kernel_kw = dict(num_layers=NL)
         scratch = []
 
-    out_specs = bat((1, Tp, L * C))
-    out_shape = jax.ShapeDtypeStruct((B, Tp, L * C), x.dtype)
+    # folded output head: extra inputs + latent-shaped first output
+    assert final is None or stream, "final folding needs the streaming trunk"
+    fin_inputs, fin_specs = (), ()
+    if final is not None:
+        modf, wfin, bfin = final
+        OUTC = wfin.shape[1]
+        OP = -(-OUTC // 128) * 128
+        wfin_p = jnp.pad(wfin, ((0, 0), (0, OP - OUTC)))
+        bfin_p = jnp.pad(bfin.reshape(1, -1), ((0, 0), (0, OP - OUTC)))
+        fin_inputs = (modf.reshape(B, 2, C), wfin_p, bfin_p)
+        fin_specs = (bat((1, 2, C)), rep((C, OP)), rep((1, OP)))
+        out_specs = bat((1, Tp, L * OP))
+        out_shape = jax.ShapeDtypeStruct((B, Tp, L * OP), jnp.float32)
+    else:
+        out_specs = bat((1, Tp, L * C))
+        out_shape = jax.ShapeDtypeStruct((B, Tp, L * C), x.dtype)
     if save_residuals:
         if NL == 1:
             res_spec = pl.BlockSpec((1, Tp_rows, C), lambda b: (b, 0, 0))
@@ -454,22 +502,31 @@ def _trunk_call(x, mods, ws, mask, num_heads: int, T: int, L: int,
         else:
             res_spec = pl.BlockSpec((1, 1, Tp_rows, C), lambda b, i: (b, i, 0, 0))
             res_shape = jax.ShapeDtypeStruct((B, NL, Tp_rows, C), x.dtype)
-            # block (b, min(i, NL-2)): the final program revisits the last
-            # block and stores nothing, so it flushes unchanged
-            xin_spec = pl.BlockSpec(
-                (1, 1, Tp, L * C),
-                lambda b, i: (b, jnp.minimum(i, NL - 2), 0, 0))
-            xin_shape = jax.ShapeDtypeStruct((B, NL - 1, Tp, L * C), x.dtype)
+            if final is not None:
+                # the folded head's backward needs the final trunk output
+                # too: all NL layer outputs are saved
+                xin_spec = pl.BlockSpec((1, 1, Tp, L * C),
+                                        lambda b, i: (b, i, 0, 0))
+                xin_shape = jax.ShapeDtypeStruct((B, NL, Tp, L * C), x.dtype)
+            else:
+                # block (b, min(i, NL-2)): the final program revisits the
+                # last block and stores nothing, so it flushes unchanged
+                xin_spec = pl.BlockSpec(
+                    (1, 1, Tp, L * C),
+                    lambda b, i: (b, jnp.minimum(i, NL - 2), 0, 0))
+                xin_shape = jax.ShapeDtypeStruct((B, NL - 1, Tp, L * C), x.dtype)
             out_specs = [out_specs, res_spec, res_spec, xin_spec]
             out_shape = [out_shape, res_shape, res_shape, xin_shape]
 
     out = pl.pallas_call(
         functools.partial(_kernel, num_heads=num_heads, head_dim=D, channels=C,
-                          stages=stages, **kernel_kw),
+                          stages=stages, fold_final=final is not None,
+                          **kernel_kw),
         grid=grid,
         in_specs=[
             bat((1, Tp, L * C)),
             mod_spec,
+            *fin_specs,
             wspec((C, 3 * C)),
             wspec((1, 3 * C)),
             wspec((C, C)),
@@ -505,7 +562,7 @@ def _trunk_call(x, mods, ws, mask, num_heads: int, T: int, L: int,
         # default 16M scoped cap; lift it (128M physical)
         **({"compiler_params": pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024)} if NL > 1 else {}),
-    )(x, mods.reshape(B, NL, 9, C),
+    )(x, mods.reshape(B, NL, 9, C), *fin_inputs,
       wqkv_l, bqkv_l.reshape(NL, 1, 3 * C), wout_l, bout_l.reshape(NL, 1, C),
       wqkv_t_p, bqkv_t_p, wout_t_p, bout_t.reshape(NL, 1, C),
       w1, b1.reshape(NL, 1, F), w2, b2.reshape(NL, 1, C),
@@ -759,30 +816,48 @@ def fused_layer(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_t,
 _TRUNK_WEIGHT_BYTES = 48 * 1024 * 1024
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _fused_trunk_pallas(x, mods, ws, mask, num_heads, T, L, interpret=False):
-    return _trunk_call(x, mods, ws, mask, num_heads, T, L, interpret=interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _fused_trunk_pallas(x, mods, ws, fin, mask, num_heads, T, L, interpret=False):
+    return _trunk_call(x, mods, ws, mask, num_heads, T, L, interpret=interpret,
+                       final=fin)
 
 
-def _ft_fwd(x, mods, ws, mask, num_heads, T, L, interpret):
+def _ft_fwd(x, mods, ws, fin, mask, num_heads, T, L, interpret):
     out, x1s, x2s, x_ins = _trunk_call(x, mods, ws, mask, num_heads, T, L,
-                                       interpret=interpret, save_residuals=True)
-    return out, (x, mods, ws, mask, x1s, x2s, x_ins)
+                                       interpret=interpret, save_residuals=True,
+                                       final=fin)
+    return out, (x, mods, ws, fin, mask, x1s, x2s, x_ins)
 
 
 def _ft_bwd(num_heads, T, L, interpret, res, grad):
     """Reverse per-layer sweep through the fused Pallas stage backwards
     (ops/fused_layer_bwd.py) using the mega-kernel's saved inter-layer
-    activations — no forward recompute."""
+    activations — no forward recompute. With a folded output head, its
+    (cheap) backward runs as the XLA VJP from the saved final trunk
+    activation first."""
     from .fused_layer_bwd import fused_layer_bwd
 
-    x, mods, ws, mask, x1s, x2s, x_ins = res
+    x, mods, ws, fin, mask, x1s, x2s, x_ins = res
     B = x.shape[0]
     NL = x1s.shape[1]
     C = x.shape[2] // L
     mods_r = mods.reshape(B, NL, 9 * C)
 
-    g = grad
+    if fin is not None:
+        # x_ins carries NL slots here; the last is the final trunk output
+        h_last = x_ins[:, NL - 1]
+        _, fvjp = jax.vjp(
+            lambda h, m, w, b: _trunk_final_xla(h, m, w, b, T, L, C),
+            h_last, *fin)
+        g, dmodf, dwfin, dbfin = fvjp(grad)
+        dfin = (dmodf.astype(fin[0].dtype), dwfin.astype(fin[1].dtype),
+                dbfin.astype(fin[2].dtype))
+        n_xin = NL
+    else:
+        g = grad
+        dfin = None
+        n_xin = NL - 1
+
     dmods = [None] * NL
     dws = [[None] * NL for _ in range(16)]
     for i in reversed(range(NL)):
@@ -796,17 +871,39 @@ def _ft_bwd(num_heads, T, L, interpret, res, grad):
         dmods[i] = grads[1]
         for k in range(16):
             dws[k][i] = grads[2 + k]
+    del n_xin
     dmods_st = jnp.stack(dmods, axis=1).reshape(mods.shape).astype(mods.dtype)
     dws_st = tuple(jnp.stack(dws[k]).reshape(jnp.shape(ws[k])).astype(ws[k].dtype)
                    for k in range(16))
-    return (g.astype(x.dtype), dmods_st, dws_st, None)
+    return (g.astype(x.dtype), dmods_st, dws_st, dfin, None)
 
 
 _fused_trunk_pallas.defvjp(_ft_fwd, _ft_bwd)
 
 
+def _trunk_final_xla(h_padded, modf, wfin, bfin, T, L, C):
+    """FinalLayer math (bit-identical to models.layers.FinalLayer) applied
+    to the padded trunk, emitting the kernel-fold's (B, Tp, L*OP) f32
+    layout. Used by the fallback path and as the fold's VJP backward."""
+    B, Tp, _ = h_padded.shape
+    out = wfin.shape[1]
+    OP = -(-out // 128) * 128
+    h = _unpad_trunk(h_padded, T, L, C)
+    sh, sc = jnp.split(modf, 2, axis=-1)
+    x32 = h.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    hn = ((x32 - mean) * jax.lax.rsqrt(var + _LN_EPS)).astype(h.dtype)
+    hn = hn * (1 + sc[:, None]) + sh[:, None]
+    y = (hn @ wfin.astype(h.dtype) + bfin.astype(h.dtype)).astype(jnp.float32)
+    y = y.reshape(B, T, L, out)
+    y = jnp.pad(y, ((0, 0), (0, Tp - T), (0, 0), (0, OP - out)))
+    return y.reshape(B, Tp, L * OP)
+
+
 def fused_trunk(x, mods, ws, mask, *, num_heads: int, tl: tuple,
-                force_xla: bool = False, force_pallas: bool = False):
+                force_xla: bool = False, force_pallas: bool = False,
+                final=None):
     """The ENTIRE trunk (all LatentMDGenLayers) as one op. x (B, Tp, L*C)
     frame-padded trunk; mods (B, NL*9C) — every layer's AdaLN output; ``ws``
     a 16-tuple of NL-stacked weights in fused_layer's argument order
@@ -814,7 +911,12 @@ def fused_trunk(x, mods, ws, mask, *, num_heads: int, tl: tuple,
     grid streams the layers per batch element (inter-layer activations never
     leave VMEM); ineligible shapes fall back to the per-layer
     ``fused_layer`` loop, identical math.
-    Reference trunk loop: src/mdgen/model/latent_model.py:456-493."""
+
+    ``final = (modf (B, 2C), wfin (C, out), bfin (out,))`` folds the
+    FinalLayer output head into the kernel's last program — the f32 LN /
+    modulate / projection never materialize on the full trunk in HBM — and
+    the return becomes the latent in (B, Tp, L*OP) f32 (OP = out padded to
+    128 lanes). Reference trunk loop: src/mdgen/model/latent_model.py:456-493."""
     import os
 
     from ..parallel.kernel_sharding import get_kernel_mesh, shard_map_batch0
@@ -832,29 +934,47 @@ def fused_trunk(x, mods, ws, mask, *, num_heads: int, tl: tuple,
         and os.environ.get("MDGEN_FUSED_TRUNK", "") != "layer"
     ))
 
-    def per_layer(x_, mods_, *flat_ws):
-        ws_ = tuple(flat_ws)
+    def per_layer(x_, mods_, *rest):
+        if final is not None:
+            modf_, wfin_, bfin_ = rest[:3]
+            ws_ = rest[3:-1]
+        else:
+            ws_ = rest[:-1]
+        mask_ = rest[-1]
         h = x_
         for i in range(NL):
             h = fused_layer(h, mods_[:, i * 9 * C:(i + 1) * 9 * C],
-                            *(w[i] for w in ws_), mask,
+                            *(w[i] for w in ws_), mask_,
                             num_heads=num_heads, tl=(T, L),
                             force_xla=force_xla, padded_io=True)
+        if final is not None:
+            return _trunk_final_xla(h, modf_, wfin_, bfin_, T, L, C)
         return h
+
+    fin_args = tuple(final) if final is not None else ()
 
     if use_mega:
         interp = jax.default_backend() != "tpu"
 
-        def local(x_, mods_, *flat_ws):
-            return _fused_trunk_pallas(x_, mods_, tuple(flat_ws[:-1]),
-                                       flat_ws[-1], num_heads, T, L, interp)
+        def local(x_, mods_, *rest):
+            if final is not None:
+                fin_ = tuple(rest[:3])
+                ws_, mask_ = tuple(rest[3:-1]), rest[-1]
+            else:
+                fin_ = None
+                ws_, mask_ = tuple(rest[:-1]), rest[-1]
+            return _fused_trunk_pallas(x_, mods_, ws_, fin_, mask_,
+                                       num_heads, T, L, interp)
 
         if jax.device_count() > 1 or get_kernel_mesh() is not None:
-            batched = (True, True) + (False,) * 16 + (True,)
-            out = shard_map_batch0(local, batched, x, mods, *ws, mask)
+            # modf is batched (B, 2C); wfin/bfin replicated
+            batched = (True, True) \
+                + ((True, False, False) if final is not None else ()) \
+                + (False,) * 16 + (True,)
+            out = shard_map_batch0(local, batched, x, mods, *fin_args, *ws, mask)
             if out is not None:
                 return out
             if not force_pallas:
-                return per_layer(x, mods, *ws)
-        return local(x, mods, *ws, mask)
-    return per_layer(x, mods, *ws)
+                return per_layer(x, mods, *fin_args, *ws, mask)
+        return local(x, mods, *fin_args, *ws, mask)
+    return per_layer(x, mods, *fin_args, *ws, mask)

@@ -103,7 +103,7 @@ def test_mega_kernel_matches_per_layer_chain(T):
     xp = _pad_trunk(x, T, L, C)
 
     def mega(xp_, mods_, *flat):
-        return _fused_trunk_pallas(xp_, mods_, tuple(flat), mask, H, T, L, True)
+        return _fused_trunk_pallas(xp_, mods_, tuple(flat), None, mask, H, T, L, True)
 
     def chain(xp_, mods_, *flat):
         h = xp_
@@ -130,3 +130,54 @@ def test_mega_kernel_matches_per_layer_chain(T):
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32), rtol=0, atol=2e-5)
+
+
+def test_folded_final_head_matches_xla(T=8):
+    """final=(modf, wfin, bfin): the kernel's folded output head (interpret)
+    matches _trunk_final_xla on the chained per-layer output — forward and
+    gradients (incl. the head's own weights)."""
+    from mdgen_finetune_tpu.ops.fused_layer import (
+        _fused_layer_pallas, _fused_trunk_pallas, _pad_trunk, _trunk_final_xla)
+
+    B, L, C, H, NL, OUTC = 2, 4, 128, 8, 2, 21
+    rng = np.random.default_rng(11)
+    r = lambda *s, sc=0.2: jnp.asarray(rng.normal(size=s), jnp.bfloat16) * sc
+    x = r(B, T * L, C, sc=0.5)
+    mods = r(B, NL * 9 * C)
+    shapes = [(C, 3 * C), (3 * C,), (C, C), (C,), (C, 3 * C), (3 * C,), (C, C), (C,),
+              (C, 4 * C), (4 * C,), (4 * C, C), (C,), (C,), (C,), (C,), (C,)]
+    ws = tuple(jnp.stack([r(*s, sc=C ** -0.5 if len(s) == 2 else 0.3)
+                          for _ in range(NL)]) for s in shapes)
+    modf = r(B, 2 * C)
+    wfin = jnp.asarray(rng.normal(size=(C, OUTC)), jnp.float32) * 0.1
+    bfin = jnp.asarray(rng.normal(size=(OUTC,)), jnp.float32) * 0.1
+    mask = jnp.ones((B, T, L), jnp.float32)
+    xp = _pad_trunk(x, T, L, C)
+
+    def folded(xp_, mods_, modf_, wfin_, bfin_, *flat):
+        return _fused_trunk_pallas(xp_, mods_, tuple(flat),
+                                   (modf_, wfin_, bfin_), mask, H, T, L, True)
+
+    def ref(xp_, mods_, modf_, wfin_, bfin_, *flat):
+        h = xp_
+        for i in range(NL):
+            h = _fused_layer_pallas(
+                h, mods_[:, i * 9 * C:(i + 1) * 9 * C],
+                *(w[i] for w in flat), mask, H, T, L, True, True)
+        return _trunk_final_xla(h, modf_, wfin_, bfin_, T, L, C)
+
+    o1 = folded(xp, mods, modf, wfin, bfin, *ws)
+    o2 = ref(xp, mods, modf, wfin, bfin, *ws)
+    assert o1.shape == o2.shape and o1.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=2e-5)
+
+    w_out = jnp.asarray(rng.normal(size=o1.shape), jnp.float32)
+
+    def loss(fn):
+        return lambda *aa: jnp.sum(fn(*aa) * w_out)
+
+    g1 = jax.grad(loss(folded), argnums=(0, 1, 2, 3, 4, 5))(xp, mods, modf, wfin, bfin, *ws)
+    g2 = jax.grad(loss(ref), argnums=(0, 1, 2, 3, 4, 5))(xp, mods, modf, wfin, bfin, *ws)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32), rtol=0, atol=3e-5)
