@@ -278,7 +278,9 @@ def _kernel(x_ref, mod_ref, *refs, num_heads: int, head_dim: int, channels: int,
       if "3" in stages:
         a = matmul(modln(X2, 6), w1, b1)  # (R, 4C) f32
         # gelu stays f32: a bf16 erf chain fails to lower (Mosaic rejects
-        # bf16 cmpf for jnp.sign) — measured dead end, PERF.md r3
+        # bf16 cmpf for jnp.sign); a split-halves software pipeline (gelu of
+        # one half overlapping the other's dot) measured neutral — Mosaic
+        # already interleaves VPU/MXU here. Both dead ends, PERF.md r3.
         a = a * 0.5 * (1.0 + _erf(a * (2.0**-0.5)))
         y = matmul(a.astype(dt), w2, b2)
         OUT = X2.astype(jnp.float32) + gatev(8) * y
