@@ -114,34 +114,45 @@ class MultiheadAttention(nn.Module):
         return dense(C, name="out_proj", dtype=self.dtype)(out)
 
     def _dense_attn(self, q, k, v, mask, bias_k, bias_v, H, D, drop):
-        C = self.embed_dim
-        B, N, _ = q.shape
-        k = jnp.concatenate([k, jnp.broadcast_to(bias_k.astype(k.dtype), (B, 1, C))], axis=1)
-        v = jnp.concatenate([v, jnp.broadcast_to(bias_v.astype(v.dtype), (B, 1, C))], axis=1)
-
-        def split_heads(t):
-            return t.reshape(t.shape[0], t.shape[1], H, D).transpose(0, 2, 1, 3)
-
-        q, k, v = split_heads(q), split_heads(k), split_heads(v)
-        if self.use_rope:
-            q, k = apply_rope(q, k)
-
-        key_valid = None
-        if mask is not None:
-            key_valid = jnp.concatenate(
-                [mask.astype(q.dtype), jnp.ones((B, 1), dtype=q.dtype)], axis=1
-            )  # bias token always valid
         if drop:
-            logits = jnp.einsum("bhqd,bhkd->bhqk", q, k)
-            if key_valid is not None:
-                logits = logits + (1.0 - key_valid)[:, None, None, :] * _NEG_INF
-            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
-            probs = nn.Dropout(self.dropout)(probs, deterministic=False)
-            out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
-        else:
-            out = fused_attention(q, k, v, key_valid)
+            return dense_attn(q, k, v, mask, bias_k, bias_v, H,
+                              use_rope=self.use_rope,
+                              dropout=lambda p: nn.Dropout(self.dropout)(p, deterministic=False))
+        return dense_attn(q, k, v, mask, bias_k, bias_v, H, use_rope=self.use_rope)
 
-        return out.transpose(0, 2, 1, 3).reshape(B, N, C)
+
+def dense_attn(q, k, v, mask, bias_k, bias_v, H, use_rope=True, dropout=None):
+    """Bias-KV + (RoPE) + masked softmax attention on (B, N, C) — the
+    module's dense path as a pure function (raw-weight callers, e.g. the
+    fused IPA-encoder twin, share it for bit-identical semantics)."""
+    B, N, C = q.shape
+    D = C // H
+    k = jnp.concatenate([k, jnp.broadcast_to(bias_k.astype(k.dtype), (B, 1, C))], axis=1)
+    v = jnp.concatenate([v, jnp.broadcast_to(bias_v.astype(v.dtype), (B, 1, C))], axis=1)
+
+    def split_heads(t):
+        return t.reshape(t.shape[0], t.shape[1], H, D).transpose(0, 2, 1, 3)
+
+    q, k, v = split_heads(q), split_heads(k), split_heads(v)
+    if use_rope:
+        q, k = apply_rope(q, k)
+
+    key_valid = None
+    if mask is not None:
+        key_valid = jnp.concatenate(
+            [mask.astype(q.dtype), jnp.ones((B, 1), dtype=q.dtype)], axis=1
+        )  # bias token always valid
+    if dropout is not None:
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+        if key_valid is not None:
+            logits = logits + (1.0 - key_valid)[:, None, None, :] * _NEG_INF
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
+        probs = dropout(probs)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    else:
+        out = fused_attention(q, k, v, key_valid)
+
+    return out.transpose(0, 2, 1, 3).reshape(B, N, C)
 
 
 class MHAParams(nn.Module):

@@ -33,6 +33,7 @@ from ..config import MDGenConfig
 from ..geometry.rigid import Rigid
 from ..ops.adaln_mlp import adaln_mlp
 from ..ops.fused_layer import fused_layer, fused_trunk
+from ..ops.ipa_encoder import fold_encoder_ws, ipa_encoder
 from ..transport.dirichlet import DirichletConditionalFlow, simplex_proj
 from ..transport.transport import t_to_alpha
 from .attention import MHAParams, MultiheadAttention
@@ -41,6 +42,7 @@ from .ipa import InvariantPointAttention
 from .layers import (
     DenseParams,
     FinalLayer,
+    LNParams,
     TimestepEmbedder,
     dense,
     gate,
@@ -97,6 +99,41 @@ class IPALayer(nn.Module):
         w2, b2 = DenseParams(C, 4 * C, name="fc2")()
         return adaln_mlp(x, sh_m, sc_m, g_m, w1.astype(self.dtype), b1.astype(self.dtype),
                          w2.astype(self.dtype), b2.astype(self.dtype))
+
+
+class _IPAParams(nn.Module):
+    """InvariantPointAttention's parameter tree via ipa_collect_params."""
+
+    cfg: MDGenConfig
+
+    @nn.compact
+    def __call__(self):
+        from .ipa import ipa_collect_params
+
+        m = self.cfg.model
+        return ipa_collect_params(self, m.embed_dim, m.ipa_heads,
+                                  m.ipa_head_dim, m.ipa_qk, m.ipa_v)
+
+
+class IPALayerParams(nn.Module):
+    """IPALayer's parameter tree without the compute (names/shapes/inits
+    identical — checkpoint-interchangeable). The parent-orchestrated encoder
+    feeds the raw weights to the fused IPA-encoder kernel on TPU
+    (ops/ipa_encoder.py) or its XLA twin elsewhere."""
+
+    cfg: MDGenConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        C = self.cfg.model.embed_dim
+        wmod, bmod = DenseParams(6 * C, C, kernel_init=zero_init, name="adaLN")()
+        ln = LNParams(C, name="ipa_norm")()
+        ipa = _IPAParams(self.cfg, name="ipa")()
+        mha = MHAParams(C, name="mha_l")()
+        fc1 = DenseParams(4 * C, C, name="fc1")()
+        fc2 = DenseParams(C, 4 * C, name="fc2")()
+        return (wmod, bmod), (*ln, *ipa, *mha, *fc1, *fc2)
 
 
 def _fold_fused_args(mha_l, mha_t, fc1, fc2, num_heads: int, dt):
@@ -293,16 +330,6 @@ class LatentMDGen(nn.Module):
         if task.design:
             self.x_d_to_emb = dense(C, name="x_d_to_emb", dtype=self.dtype)
 
-        if m.prepend_ipa:
-            if not m.no_aa_emb:
-                self.aatype_to_emb = nn.Embed(
-                    21, C, name="aatype_to_emb", embedding_init=nn.initializers.normal(1.0), dtype=self.dtype
-                )
-            self.ipa_layers = [
-                IPALayer(cfg, dtype=self.dtype, train=self.train, name=f"ipa_layers_{i}")
-                for i in range(m.num_layers)
-            ]
-
         layer_cls = nn.remat(LatentMDGenLayer) if m.grad_checkpointing else LatentMDGenLayer
         self.fused_trunk = not (m.interleave_ipa or m.hyena or m.no_rope
                                 or (m.dropout > 0.0 and self.train))
@@ -314,6 +341,24 @@ class LatentMDGen(nn.Module):
         # remat'd modules (the mega path saves its own minimal residuals
         # but remat semantics belong to the per-layer loop).
         self.parent_trunk = self.fused_trunk and not m.grad_checkpointing
+
+        if m.prepend_ipa:
+            if not m.no_aa_emb:
+                self.aatype_to_emb = nn.Embed(
+                    21, C, name="aatype_to_emb", embedding_init=nn.initializers.normal(1.0), dtype=self.dtype
+                )
+            if self.parent_trunk:
+                # raw-weight twins: the whole encoder stack runs as ONE
+                # streaming Pallas grid (ops/ipa_encoder.py)
+                self.ipa_layers = [
+                    IPALayerParams(cfg, dtype=self.dtype, name=f"ipa_layers_{i}")
+                    for i in range(m.num_layers)
+                ]
+            else:
+                self.ipa_layers = [
+                    IPALayer(cfg, dtype=self.dtype, train=self.train, name=f"ipa_layers_{i}")
+                    for i in range(m.num_layers)
+                ]
         if self.parent_trunk:
             self.layers = [
                 FusedLayerParams(cfg, dtype=self.dtype, name=f"layers_{i}")
@@ -350,7 +395,38 @@ class LatentMDGen(nn.Module):
             self.condflow = DirichletConditionalFlow(K=20, alpha_spacing=0.001, alpha_max=cfg.transport.alpha_max)
 
     # ------------------------------------------------------------------
-    def run_ipa(self, t_emb, mask, start_frames, end_frames, aatype, x_d=None):
+    def make_encoder_pack(self):
+        """Parent-path encoder weights: per-layer AdaLN projections
+        concatenated (one matmul for every layer's 6-way mod) + the 27-tuple
+        of NL-stacked fused-encoder weights (ops/ipa_encoder.fold_encoder_ws)."""
+        m = self.cfg.model
+        packs = [layer() for layer in self.ipa_layers]
+        wmods = jnp.concatenate([p[0][0] for p in packs], axis=1).astype(self.dtype)
+        bmods = jnp.concatenate([p[0][1] for p in packs]).astype(self.dtype)
+        folded = [fold_encoder_ws(p[1], m.mha_heads, m.ipa_heads,
+                                  m.ipa_head_dim, m.ipa_qk, m.ipa_v, self.dtype)
+                  for p in packs]
+        ws = tuple(jnp.stack([f[k] for f in folded]) for k in range(len(folded[0])))
+        return wmods, bmods, ws
+
+    def _encode(self, x, t_emb, mask, frames, enc_pack):
+        """One encoder pass: fused stack (parent path) or the IPALayer
+        modules."""
+        m = self.cfg.model
+        if self.parent_trunk:
+            wmods, bmods, ws = (enc_pack if enc_pack is not None
+                                else self.make_encoder_pack())
+            se = nn.silu(t_emb).astype(self.dtype)
+            mods = se @ wmods + bmods  # (B, NL*6C)
+            return ipa_encoder(x, mods, ws, frames, mask,
+                               num_heads_mha=m.mha_heads, Hi=m.ipa_heads,
+                               Ch=m.ipa_head_dim, Pq=m.ipa_qk, Pv=m.ipa_v)
+        for layer in self.ipa_layers:
+            x = layer(x, t_emb, mask, frames=frames)
+        return x
+
+    def run_ipa(self, t_emb, mask, start_frames, end_frames, aatype, x_d=None,
+                enc_pack=None):
         """Conditioning encoder over (B, L) (src/mdgen/model/latent_model.py:179-214)."""
         cfg = self.cfg
         if cfg.task.sim_condition or cfg.task.mpnn or cfg.task.cond_interval:
@@ -360,9 +436,7 @@ class LatentMDGen(nn.Module):
                 x = x + self.aatype_to_emb(aatype)
             if cfg.task.design:
                 x = x + self.x_d_to_emb(x_d)
-            for layer in self.ipa_layers:
-                x = layer(x, t_emb, mask, frames=start_frames)
-            return x
+            return self._encode(x, t_emb, mask, start_frames, enc_pack)
         # tps / inpainting / dynamic_mpnn: forward+reverse relative-frame tokens
         x_f = self.latent_to_emb_f(start_frames.invert().compose(end_frames).to_tensor_7().astype(self.dtype))
         x_r = self.latent_to_emb_r(end_frames.invert().compose(start_frames).to_tensor_7().astype(self.dtype))
@@ -372,9 +446,8 @@ class LatentMDGen(nn.Module):
         if cfg.task.design:
             x_f = x_f + self.x_d_to_emb(x_d)
             x_r = x_r + self.x_d_to_emb(x_d)
-        for layer in self.ipa_layers:
-            x_r = layer(x_r, t_emb, mask, frames=start_frames)
-            x_f = layer(x_f, t_emb, mask, frames=end_frames)
+        x_r = self._encode(x_r, t_emb, mask, start_frames, enc_pack)
+        x_f = self._encode(x_f, t_emb, mask, end_frames, enc_pack)
         return x_r + x_f
 
     def make_trunk_pack(self):
@@ -401,7 +474,8 @@ class LatentMDGen(nn.Module):
         wmods = jnp.concatenate(wmod_cols, axis=1).astype(self.dtype)
         bmods = jnp.concatenate(bmod_cols).astype(self.dtype)
         ws = tuple(jnp.stack([p[1][k] for p in packs]) for k in range(16))
-        return (wmods, bmods, ws, fin)
+        enc = self.make_encoder_pack() if self.cfg.model.prepend_ipa else None
+        return (wmods, bmods, ws, fin, enc)
 
     def __call__(
         self,
@@ -447,9 +521,14 @@ class LatentMDGen(nn.Module):
 
         t_emb = self.t_embedder(t * cfg.model.time_multiplier).astype(self.dtype)  # (B, C)
 
+        pack = None
+        if self.parent_trunk:
+            pack = trunk_pack if trunk_pack is not None else self.make_trunk_pack()
+
         if cfg.model.prepend_ipa:
             enc = self.run_ipa(
-                t_emb, mask[:, 0], start_frames, end_frames, aatype, x_d=x_d
+                t_emb, mask[:, 0], start_frames, end_frames, aatype, x_d=x_d,
+                enc_pack=pack[4] if pack is not None else None,
             )
             h = h + jnp.tile(enc, (1, T, 1))  # row t*L+l <- enc[:, l]
         if self.fused_trunk:
@@ -465,8 +544,7 @@ class LatentMDGen(nn.Module):
                 # every layer's AdaLN (and the FinalLayer's) in ONE matmul:
                 # concat the zero-init projections' columns (exact
                 # per-column equality with the per-layer dense calls)
-                wmods, bmods, ws, fin = (trunk_pack if trunk_pack is not None
-                                         else self.make_trunk_pack())
+                wmods, bmods, ws, fin, _enc = pack
                 NL = len(self.layers)
                 se = nn.silu(t_emb).astype(self.dtype)
                 mods_all = se @ wmods + bmods  # (B, NL*9C [+ 2C])

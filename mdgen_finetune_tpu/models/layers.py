@@ -106,6 +106,19 @@ def sincos_pos_embed(embed_dim: int, length: int) -> np.ndarray:
     return np.concatenate([np.sin(out), np.cos(out)], axis=1).astype(np.float32)
 
 
+class LNParams(nn.Module):
+    """Declares an affine nn.LayerNorm's params (same names/inits) and
+    returns them raw, for fused kernels."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        sc = self.param("scale", nn.initializers.ones, (self.features,))
+        b = self.param("bias", zero_init, (self.features,))
+        return sc, b
+
+
 class DenseParams(nn.Module):
     """Declares a Dense layer's params (same names/init/shapes as nn.Dense —
     checkpoint-path compatible) and returns them raw, for call sites that

@@ -1,0 +1,629 @@
+"""Fused prepend-IPA conditioning encoder: the ENTIRE stack in one pallas_call.
+
+The encoder (reference src/mdgen/model/latent_model.py:179-214, 341-394) runs
+NL IPALayers — affine-LN + IPA + AdaLN residue-MHA + AdaLN MLP — on tiny
+(B, L, C) activations (B=32, L=4 at the bench). As XLA ops this is ~50 small
+kernels per layer and costs 0.27 ms per denoiser forward, 7% of the step, all
+dispatch/latency. Here the whole stack runs in one streaming Pallas grid
+(NL programs, weights streamed per layer, activation resident in VMEM), in
+the row layout rows = (l-major L*B, C):
+
+- per-residue blocks are contiguous ROW blocks (blk l = rows [l*B:(l+1)*B]),
+  so the residue MHA is exactly the trunk kernel's stage-1 pair-loop
+  (ops/fused_layer.py) with Tp -> B;
+- IPA's point attention works in pure 2D: the projection's (x | y | z)
+  coordinate planes are lane blocks, frames apply as per-row FMAs on the
+  (L*B, 9) rotation columns, and |q-k|^2 = |q|^2+|k|^2-2q.k rides head-sum
+  matmuls (the same S-matrix trick as the residue kernel; models/ipa.py
+  docstring) with per-key j row-tiles;
+- the MLP is the trunk's stage 3.
+
+Backward: custom VJP over the XLA twin (`encoder_xla`), which calls the very
+functions the flax modules call (models/ipa.ipa_forward,
+models/attention.dense_attn, ops/adaln_mlp) so fallback/backward semantics
+are bit-identical to the module stack.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..geometry.rigid import Rigid
+from .adaln_mlp import _erf
+from .residue_attention import _tables_np as _res_tables_np
+
+_LN_EPS = 1e-6
+_LN_EPS_IPA = 1e-5
+_INF = 1e5
+_NEG_INF = -1e9
+
+# per-layer weight tuple order (after pack-time splitting/folding):
+#  0 ln_sc (C,)   1 ln_b (C,)                      ipa_norm (affine, eps 1e-5)
+#  2 wq_i (C, HCh)      3 bq_i      scalar q
+#  4 wk_i (C, HCh)      5 bk_i      scalar k   (kv projection split)
+#  6 wv_i (C, HCh)      7 bv_i      scalar v
+#  8 wqp (C, 3*HPq)     9 bqp       q points (x|y|z lane blocks)
+# 10 wkp (C, 3*HPq)    11 bkp       k points  (kv-points split)
+# 12 wvp (C, 3*HPv)    13 bvp       v points
+# 14 hw_raw (Hi,)                  head_weights (softplus in compute)
+# 15 wo_i (FEAT, C)    16 bo_i      IPA out
+# 17 wqkv_m (C, 3C)    18 bqkv_m    MHA qkv (query scale folded)
+# 19 wo_m (C, C)       20 bo_m
+# 21 bkm (C,)          22 bvm (C,)  MHA bias-KV token
+# 23 w1 (C, 4C)  24 b1  25 w2 (4C, C)  26 b2
+ENC_NW = 27
+
+
+def fold_encoder_ws(layer_ws, num_heads_mha: int, Hi: int, Ch: int, Pq: int,
+                    Pv: int, dt):
+    """Per-layer raw params (IPALayerParams order) -> the kernel tuple above.
+    Splits the fused kv / kv-points projections by COLUMNS (free, exact) and
+    folds the MHA query scale."""
+    (ln_sc, ln_b,
+     wq, bq, wkv, bkv, wqp, bqp, wkvp, bkvp, hw_raw, wo_i, bo_i,
+     wq_m, bq_m, wk_m, bk_m, wv_m, bv_m, wo_m, bo_m, bias_k, bias_v,
+     w1, b1, w2, b2) = layer_ws
+    HCh = Hi * Ch
+    # kv: (C, 2*H*Ch) laid out (H, 2*Ch) per head -> per-head first Ch = k
+    kv_cols = wkv.reshape(-1, Hi, 2, Ch)  # split order matches jnp.split(kv, 2, -1)
+    wk_i = kv_cols[:, :, 0].reshape(-1, HCh)
+    wv_i = kv_cols[:, :, 1].reshape(-1, HCh)
+    bkv_c = bkv.reshape(Hi, 2, Ch)
+    bk_i = bkv_c[:, 0].reshape(HCh)
+    bv_i = bkv_c[:, 1].reshape(HCh)
+    # kv points: (C, 3*H*(Pq+Pv)) with (3, H, Pq+Pv) column layout; the
+    # module splits points [..., :Pq] / [Pq:] per head AFTER the frame
+    # lift — splitting the projection columns is the same linear map
+    kvp = wkvp.reshape(-1, 3, Hi, Pq + Pv)
+    wkp = kvp[..., :Pq].reshape(-1, 3 * Hi * Pq)
+    wvp = kvp[..., Pq:].reshape(-1, 3 * Hi * Pv)
+    bkvp_c = bkvp.reshape(3, Hi, Pq + Pv)
+    bkp = bkvp_c[..., :Pq].reshape(-1)
+    bvp = bkvp_c[..., Pq:].reshape(-1)
+    C = wq.shape[0]
+    scale = (C // num_heads_mha) ** -0.5
+    wqkv_m = jnp.concatenate([wq_m * scale, wk_m, wv_m], axis=1).astype(dt)
+    bqkv_m = jnp.concatenate([bq_m * scale, bk_m, bv_m]).astype(dt)
+    return (ln_sc, ln_b,
+            wq.astype(dt), bq.astype(dt), wk_i.astype(dt), bk_i.astype(dt),
+            wv_i.astype(dt), bv_i.astype(dt),
+            wqp.astype(dt), bqp.astype(dt), wkp.astype(dt), bkp.astype(dt),
+            wvp.astype(dt), bvp.astype(dt),
+            hw_raw, wo_i.astype(dt), bo_i.astype(dt),
+            wqkv_m, bqkv_m, wo_m.astype(dt), bo_m.astype(dt),
+            bias_k.reshape(-1).astype(dt), bias_v.reshape(-1).astype(dt),
+            w1.astype(dt), b1.astype(dt), w2.astype(dt), b2.astype(dt))
+
+
+# ---------------------------------------------------------------------------
+# XLA twin (module-identical; used on CPU/fallback and as the VJP backward)
+# ---------------------------------------------------------------------------
+
+def _ipa_fwd_split(s, r: Rigid, frame_mask, ws, H, Ch, Pq, Pv, dtype):
+    """models.ipa.ipa_forward with the kv / kv-points projections already
+    COLUMN-split (fold_encoder_ws) — matmul columns are independent, so this
+    is bit-identical to the fused-projection module math; every other op
+    mirrors ipa_forward exactly."""
+    (wq, bq, wk, bk, wv, bv, wqp, bqp, wkp, bkp, wvp, bvp,
+     hw_raw, wout, bout) = ws
+    *batch, L, _ = s.shape
+    sd = s.astype(dtype)
+
+    def lin(x, w, b):
+        # flax Dense promote_dtype semantics: the INPUT is cast to
+        # dtype too (an f32 operand would silently promote the whole
+        # downstream computation to f32)
+        return x.astype(dtype) @ w.astype(dtype) + b.astype(dtype)
+
+    q = lin(sd, wq, bq).reshape(*batch, L, H, Ch)
+    k = lin(sd, wk, bk).reshape(*batch, L, H, Ch)
+    v = lin(sd, wv, bv).reshape(*batch, L, H, Ch)
+
+    def to_points(t, P):
+        t = t.reshape(*batch, L, 3, H * P)
+        return jnp.swapaxes(t, -1, -2)  # (..., L, H*P, 3)
+
+    q_pts = to_points(lin(sd, wqp, bqp), Pq)
+    k_pts = to_points(lin(sd, wkp, bkp), Pq)
+    v_pts = to_points(lin(sd, wvp, bvp), Pv)
+
+    r1 = Rigid(r.rot[..., None, :, :], r.trans[..., None, :])
+    q_pts = r1.apply(q_pts).reshape(*batch, L, H, Pq, 3)
+    k_pts = r1.apply(k_pts).reshape(*batch, L, H, Pq, 3)
+    v_pts = r1.apply(v_pts).reshape(*batch, L, H, Pv, 3)
+
+    a = jnp.einsum("...qhc,...khc->...hqk", q, k) * math.sqrt(1.0 / (3 * Ch))
+
+    hw = jax.nn.softplus(hw_raw) * math.sqrt(1.0 / (3 * (Pq * 9.0 / 2)))
+    sq = jnp.sum(q_pts**2, axis=-1)
+    sk = jnp.sum(k_pts**2, axis=-1)
+    cross = jnp.einsum("...qhpx,...khpx->...hqk", q_pts, k_pts)
+    sum_sq = jnp.sum(sq, axis=-1)
+    sum_sk = jnp.sum(sk, axis=-1)
+    pt_att = (
+        jnp.swapaxes(sum_sq, -1, -2)[..., :, None]
+        + jnp.swapaxes(sum_sk, -1, -2)[..., None, :]
+        - 2 * cross
+    )
+    a = a + pt_att * hw[:, None, None] * (-0.5)
+
+    if frame_mask is not None:
+        square = frame_mask[..., :, None] * frame_mask[..., None, :]
+        a = a + (_INF * (square - 1))[..., None, :, :]
+
+    a = jax.nn.softmax(a.astype(jnp.float32), axis=-1).astype(s.dtype)
+
+    o = jnp.einsum("...hqk,...khc->...qhc", a, v).reshape(*batch, L, H * Ch)
+    o_pt = jnp.einsum("...hqk,...khpx->...qhpx", a, v_pts)
+    o_pt = Rigid(r1.rot, r1.trans).invert_apply(o_pt.reshape(*batch, L, H * Pv, 3))
+    o_pt_norm = jnp.sqrt(jnp.sum(o_pt**2, axis=-1) + 1e-8)
+    feats = jnp.concatenate(
+        [o, o_pt[..., 0], o_pt[..., 1], o_pt[..., 2], o_pt_norm], axis=-1
+    )
+    return lin(feats, wout, bout)
+
+
+def encoder_layer_xla(x, mod, layer_ws, frames: Rigid, mask, Hm, Hi, Ch, Pq,
+                      Pv, dtype):
+    """One IPALayer on the FOLDED kernel weights — the same functions/ops as
+    the flax module (modulo bit-exact column splits / scale folds), so
+    semantics are bit-identical to models.denoiser.IPALayer."""
+    from ..models.attention import dense_attn
+    from ..models.layers import gate, layer_norm, modulate
+    from .adaln_mlp import adaln_mlp
+
+    (ln_sc, ln_b,
+     wq, bq, wk_i, bk_i, wv_i, bv_i, wqp, bqp, wkp, bkp, wvp, bvp,
+     hw_raw, wo_i, bo_i,
+     wqkv_m, bqkv_m, wo_m, bo_m, bkm, bvm,
+     w1, b1, w2, b2) = layer_ws
+    C = x.shape[-1]
+    sh_l, sc_l, g_l, sh_m, sc_m, g_m = jnp.split(mod, 6, axis=-1)
+
+    # ipa_norm: flax LayerNorm(eps 1e-5): f32 stats/normalize, cast at end
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True) - mean * mean
+    ipa_in = ((x32 - mean) * (jax.lax.rsqrt(var + _LN_EPS_IPA) * ln_sc) + ln_b).astype(dtype)
+
+    ipa_ws = (wq, bq, wk_i, bk_i, wv_i, bv_i, wqp, bqp, wkp, bkp, wvp, bvp,
+              hw_raw, wo_i, bo_i)
+    x = x + _ipa_fwd_split(ipa_in, frames, mask, ipa_ws, Hi, Ch, Pq, Pv, dtype)
+
+    residual = x
+    xm = modulate(layer_norm(x), sh_l, sc_l)
+    qkv = xm.astype(dtype) @ wqkv_m.astype(dtype) + bqkv_m.astype(dtype)
+    q, k, v = qkv[..., :C], qkv[..., C:2 * C], qkv[..., 2 * C:]
+    att = dense_attn(q, k, v, mask, bkm.reshape(1, 1, C), bvm.reshape(1, 1, C),
+                     Hm, use_rope=True)
+    att = att @ wo_m.astype(dtype) + bo_m.astype(dtype)
+    x = residual + gate(att, g_l)
+
+    return adaln_mlp(x, sh_m, sc_m, g_m, w1.astype(dtype), b1.astype(dtype),
+                     w2.astype(dtype), b2.astype(dtype))
+
+
+def encoder_xla(x, mods, layer_ws_list, frames: Rigid, mask, Hm, Hi, Ch, Pq,
+                Pv, dtype):
+    """The full NL-layer encoder on raw weights."""
+    C = x.shape[-1]
+    for i, lws in enumerate(layer_ws_list):
+        x = encoder_layer_xla(x, mods[:, i * 6 * C:(i + 1) * 6 * C], lws,
+                              frames, mask, Hm, Hi, Ch, Pq, Pv, dtype)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+def _sum_mat(group: int, heads: int):
+    """(heads*group, heads) block-ones: lane-sum per head."""
+    m = np.zeros((heads * group, heads), np.float32)
+    for h in range(heads):
+        m[h * group:(h + 1) * group, h] = 1.0
+    return m
+
+
+def _kernel(x_ref, mods_ref, rot_ref, trans_ref, bias_i_ref, bias_m_ref,
+            cosr_ref, sinr_ref, fh_ref, s_ref, st_ref,
+            ssc_ref, spt_ref, ev_ref, ept_ref,
+            ln_sc_ref, ln_b_ref, wq_i_ref, bq_i_ref, wk_i_ref, bk_i_ref,
+            wv_i_ref, bv_i_ref, wqp_ref, bqp_ref, wkp_ref, bkp_ref,
+            wvp_ref, bvp_ref, hw_ref, wo_i_ref, bo_i_ref,
+            wqkv_m_ref, bqkv_m_ref, wo_m_ref, bo_m_ref, bkm_ref, bvm_ref,
+            w1_ref, b1_ref, w2_ref, b2_ref,
+            o_ref, xbuf, *, num_heads_mha: int, Hi: int, Ch: int, Pq: int,
+            Pv: int, B: int, L: int, num_layers: int):
+    C = x_ref.shape[1]
+    Hm = num_heads_mha
+    D = C // Hm
+    half = D // 2
+    J = L + 1
+    R = L * B
+    HCh = Hi * Ch
+    HPq = Hi * Pq
+    HPv = Hi * Pv
+    dt = x_ref.dtype
+    li = pl.program_id(0)
+    f32 = jnp.float32
+
+    @pl.when(li == 0)
+    def _():
+        xbuf[...] = x_ref[...]
+
+    X = xbuf[...]  # (R, C) rows l-major: row l*B + b
+
+    def blk(a, l):
+        return a[l * B:(l + 1) * B]
+
+    def rtile(sheet):  # (B, C') -> (R, C') row-tile
+        return jnp.concatenate([sheet] * L, axis=0)
+
+    def modrow(j):  # mods block (1, 6, B, C) -> row-tiled (R, C) f32
+        return rtile(mods_ref[0, j].astype(f32))
+
+    def matmul(a, w, b):
+        return jax.lax.dot_general(
+            a, w, (((1,), (0,)), ((), ())), preferred_element_type=f32
+        ) + b.astype(f32)
+
+    # ---- IPA ----
+    x32 = X.astype(f32)
+    mean = jnp.mean(x32, axis=1, keepdims=True)
+    var = jnp.mean(x32 * x32, axis=1, keepdims=True) - mean * mean
+    ipa_in = ((x32 - mean) * (jax.lax.rsqrt(var + _LN_EPS_IPA)
+                              * ln_sc_ref[0].astype(f32))
+              + ln_b_ref[0].astype(f32)).astype(dt)
+
+    q_s = matmul(ipa_in, wq_i_ref[0], bq_i_ref[0]).astype(dt)   # (R, HCh)
+    k_s = matmul(ipa_in, wk_i_ref[0], bk_i_ref[0]).astype(dt)
+    v_s = matmul(ipa_in, wv_i_ref[0], bv_i_ref[0]).astype(dt)
+    qp = matmul(ipa_in, wqp_ref[0], bqp_ref[0])                 # (R, 3*HPq) f32
+    kp = matmul(ipa_in, wkp_ref[0], bkp_ref[0])
+    vp = matmul(ipa_in, wvp_ref[0], bvp_ref[0])                 # (R, 3*HPv)
+
+    r9 = rot_ref[...].astype(f32)    # (R, 9) row-major 3x3
+    t3 = trans_ref[...].astype(f32)  # (R, 3)
+
+    def lift(p, w):  # local -> global: R @ p + t, coords as lane blocks
+        px, py, pz = p[:, :w], p[:, w:2 * w], p[:, 2 * w:]
+        gx = r9[:, 0:1] * px + r9[:, 1:2] * py + r9[:, 2:3] * pz + t3[:, 0:1]
+        gy = r9[:, 3:4] * px + r9[:, 4:5] * py + r9[:, 5:6] * pz + t3[:, 1:2]
+        gz = r9[:, 6:7] * px + r9[:, 7:8] * py + r9[:, 8:9] * pz + t3[:, 2:3]
+        return gx, gy, gz
+
+    qx, qy, qz = lift(qp, HPq)
+    kx, ky, kz = lift(kp, HPq)
+    vx, vy, vz = lift(vp, HPv)
+
+    S_sc = ssc_ref[...]  # (HCh, Hi)
+    S_pt = spt_ref[...]  # (HPq, Hi)
+    c_sc = math.sqrt(1.0 / (3 * Ch))
+    wc = math.sqrt(1.0 / (3 * (Pq * 9.0 / 2)))
+    hw32 = hw_ref[0].astype(f32)  # (1, Hi) raw
+    hw_eff = jnp.log1p(jnp.exp(hw32)) * wc * (-0.5)
+
+    sqq = jax.lax.dot_general((qx * qx + qy * qy + qz * qz).astype(dt), S_pt.astype(dt),
+                              (((1,), (0,)), ((), ())), preferred_element_type=f32)
+    skk = jax.lax.dot_general((kx * kx + ky * ky + kz * kz).astype(dt), S_pt.astype(dt),
+                              (((1,), (0,)), ((), ())), preferred_element_type=f32)
+
+    ls = []
+    for j in range(L):
+        kt = rtile(blk(k_s, j))
+        e = jax.lax.dot_general((q_s.astype(f32) * kt.astype(f32)).astype(dt),
+                                S_sc.astype(dt), (((1,), (0,)), ((), ())),
+                                preferred_element_type=f32) * c_sc
+        cross = (qx * rtile(blk(kx, j)) + qy * rtile(blk(ky, j))
+                 + qz * rtile(blk(kz, j)))
+        cr = jax.lax.dot_general(cross.astype(dt), S_pt.astype(dt),
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=f32)
+        pt = sqq + rtile(blk(skk, j)) - 2.0 * cr
+        bias_j = bias_i_ref[:, j:j + 1]  # (R, 1) f32
+        ls.append(e + pt * hw_eff + bias_j)
+    m = ls[0]
+    for l_ in ls[1:]:
+        m = jnp.maximum(m, l_)
+    ps = [jnp.exp(l_ - m) for l_ in ls]
+    denom = ps[0]
+    for p_ in ps[1:]:
+        denom = denom + p_
+    inv = 1.0 / denom
+    Ev = ev_ref[...].astype(dt)    # (Hi, HCh)
+    Ept = ept_ref[...].astype(dt)  # (Hi, HPv)
+    acc = jnp.zeros((R, HCh), f32)
+    ax = jnp.zeros((R, HPv), f32)
+    ay = jnp.zeros((R, HPv), f32)
+    az = jnp.zeros((R, HPv), f32)
+    for j in range(L):
+        pj = (ps[j] * inv).astype(dt)  # (R, Hi)
+        pv_s = jax.lax.dot_general(pj, Ev, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+        acc = acc + pv_s * rtile(blk(v_s, j)).astype(f32)
+        pv_p = jax.lax.dot_general(pj, Ept, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+        ax = ax + pv_p * rtile(blk(vx, j))
+        ay = ay + pv_p * rtile(blk(vy, j))
+        az = az + pv_p * rtile(blk(vz, j))
+    # invert-apply: local = R^T (global - t)
+    dx, dy, dz = ax - t3[:, 0:1], ay - t3[:, 1:2], az - t3[:, 2:3]
+    lx = r9[:, 0:1] * dx + r9[:, 3:4] * dy + r9[:, 6:7] * dz
+    ly = r9[:, 1:2] * dx + r9[:, 4:5] * dy + r9[:, 7:8] * dz
+    lz = r9[:, 2:3] * dx + r9[:, 5:6] * dy + r9[:, 8:9] * dz
+    nrm = jnp.sqrt(lx * lx + ly * ly + lz * lz + 1e-8)
+    feats = jnp.concatenate(
+        [acc.astype(dt), lx.astype(dt), ly.astype(dt), lz.astype(dt),
+         nrm.astype(dt)], axis=1)  # (R, FEAT)
+    ipa_out = matmul(feats, wo_i_ref[0], bo_i_ref[0])
+    X = (X.astype(f32) + ipa_out).astype(dt)
+
+    # ---- residue MHA (trunk stage-1 body with Tp -> B) ----
+    fh = fh_ref[...]
+
+    def rotate_half(z32):
+        take_right = pltpu.roll(z32, C - half, 1)
+        take_left = pltpu.roll(z32, half, 1)
+        return -take_right * fh + take_left * (1 - fh)
+
+    def rope(z, pos):
+        cos = cosr_ref[pos].astype(f32)
+        sin = sinr_ref[pos].astype(f32)
+        z32 = z.astype(f32)
+        return (z32 * cos + rotate_half(z32) * sin).astype(z.dtype)
+
+    def modln(xs, sh, sc):
+        z32 = xs.astype(f32)
+        mu = jnp.mean(z32, axis=1, keepdims=True)
+        va = jnp.mean(z32 * z32, axis=1, keepdims=True) - mu * mu
+        h = (z32 - mu) * jax.lax.rsqrt(va + _LN_EPS)
+        return (h * (1.0 + sc) + sh).astype(dt)
+
+    sh_l, sc_l, g_l = modrow(0), modrow(1), modrow(2)
+    sh_m, sc_m, g_m = modrow(3), modrow(4), modrow(5)
+
+    qkv = matmul(modln(X, sh_l, sc_l), wqkv_m_ref[0], bqkv_m_ref[0]).astype(dt)
+    qs = [rope(blk(qkv, l_)[:, :C], l_) for l_ in range(L)]
+    ks = [rope(blk(qkv, l_)[:, C:2 * C], l_) for l_ in range(L)]
+    vs = [blk(qkv, l_)[:, 2 * C:] for l_ in range(L)]
+    ks.append(rope(jnp.broadcast_to(bkm_ref[0], (B, C)).astype(dt), L))
+    vs.append(jnp.broadcast_to(bvm_ref[0], (B, C)).astype(dt))
+    q_all = jnp.concatenate(qs, axis=0)  # (R, C)
+
+    S = s_ref[...]
+    St = st_ref[...]
+    Sd = S.astype(dt)
+    lsm = []
+    for j in range(J):
+        k_t = rtile(ks[j])
+        e = q_all * k_t
+        lg = jax.lax.dot_general(e, Sd, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=f32)
+        lsm.append(lg + rtile(bias_m_ref[:, j:j + 1]))
+    mm = lsm[0]
+    for l_ in lsm[1:]:
+        mm = jnp.maximum(mm, l_)
+    pm = [jnp.exp(l_ - mm) for l_ in lsm]
+    dn = pm[0]
+    for p_ in pm[1:]:
+        dn = dn + p_
+    invm = 1.0 / dn
+    att = jnp.zeros((R, C), f32)
+    for j in range(J):
+        p_exp = jax.lax.dot_general(pm[j] * invm, St, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=f32)
+        att = att + p_exp * rtile(vs[j]).astype(f32)
+    y = matmul(att.astype(dt), wo_m_ref[0], bo_m_ref[0])
+    X = (X.astype(f32) + g_l * y).astype(dt)
+
+    # ---- MLP (trunk stage-3 body) ----
+    a = matmul(modln(X, sh_m, sc_m), w1_ref[0], b1_ref[0])
+    a = a * 0.5 * (1.0 + _erf(a * (2.0 ** -0.5)))
+    y = matmul(a.astype(dt), w2_ref[0], b2_ref[0])
+    OUT = (X.astype(f32) + g_m * y).astype(dt)
+
+    @pl.when(li < num_layers - 1)
+    def _(OUT=OUT):
+        xbuf[...] = OUT
+
+    @pl.when(li == num_layers - 1)
+    def _(OUT=OUT):
+        o_ref[...] = OUT.astype(o_ref.dtype)
+
+
+def _encoder_call(x, mods, ws, rot9, trans3, bias_i, bias_m, Hm, Hi, Ch, Pq,
+                  Pv, B, L, interpret):
+    """Host prep + the pallas_call. x (R=L*B, C) l-major rows."""
+    R, C = x.shape
+    NL = ws[0].shape[0]
+    D = C // Hm
+    J = L + 1
+    HCh, HPq, HPv = Hi * Ch, Hi * Pq, Hi * Pv
+    FEAT = HCh + 4 * HPv
+    f32 = jnp.float32
+
+    cosr_np, sinr_np, fh_np, s_np = _res_tables_np(J, D, C)
+    cosr = jnp.asarray(cosr_np, f32).reshape(J, 1, C)
+    sinr = jnp.asarray(sinr_np, f32).reshape(J, 1, C)
+    fh = jnp.asarray(fh_np, f32).reshape(1, C)
+    S = jnp.asarray(s_np, f32)
+    ssc = jnp.asarray(_sum_mat(Ch, Hi))
+    spt = jnp.asarray(_sum_mat(Pq, Hi))
+    ev = jnp.asarray(_sum_mat(Ch, Hi).T.copy())
+    ept = jnp.asarray(_sum_mat(Pv, Hi).T.copy())
+
+    def rep(shape):
+        n = len(shape)
+        return pl.BlockSpec(shape, lambda i, _n=n: (0,) * _n)
+
+    def per_layer(shape):
+        n = len(shape)
+        return pl.BlockSpec((1,) + shape, lambda i, _n=n: (i,) + (0,) * _n)
+
+    (ln_sc, ln_b, wq_i, bq_i, wk_i, bk_i, wv_i, bv_i, wqp, bqp, wkp, bkp,
+     wvp, bvp, hw, wo_i, bo_i, wqkv_m, bqkv_m, wo_m, bo_m, bkm, bvm,
+     w1, b1, w2, b2) = ws
+    F = w1.shape[-1]
+
+    w_specs = [per_layer(s) for s in [
+        (1, C), (1, C), (C, HCh), (1, HCh), (C, HCh), (1, HCh), (C, HCh), (1, HCh),
+        (C, 3 * HPq), (1, 3 * HPq), (C, 3 * HPq), (1, 3 * HPq),
+        (C, 3 * HPv), (1, 3 * HPv), (1, Hi), (FEAT, C), (1, C),
+        (C, 3 * C), (1, 3 * C), (C, C), (1, C), (1, C), (1, C),
+        (C, F), (1, F), (F, C), (1, C)]]
+    # per_layer index maps take only the layer grid index; ref inside sees
+    # the (1, ...) block — kernel indexes with [li]... so use block [li] = 0.
+    # Simpler: pass FULL stacked arrays replicated and index [li] in-kernel
+    # for the tiny ones? Streaming needs per-layer blocks; the kernel indexes
+    # w_ref[0] — with per-layer blocks the ref is (1, ...) so [li] is wrong.
+    # -> kernel uses [0]; set num_layers blocks so w_ref[0] is layer li.
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, num_heads_mha=Hm, Hi=Hi, Ch=Ch, Pq=Pq,
+                          Pv=Pv, B=B, L=L, num_layers=NL),
+        grid=(NL,),
+        in_specs=[
+            rep((R, C)),
+            pl.BlockSpec((1, 6, B, C), lambda i: (i, 0, 0, 0)),
+            rep((R, 9)),
+            rep((R, 3)),
+            rep((R, L)),
+            rep((B, J)),
+            rep((J, 1, C)),
+            rep((J, 1, C)),
+            rep((1, C)),
+            rep((C, Hm)),
+            rep((Hm, C)),
+            rep((HCh, Hi)),
+            rep((HPq, Hi)),
+            rep((Hi, HCh)),
+            rep((Hi, HPv)),
+            *w_specs,
+        ],
+        out_specs=rep((R, C)),
+        out_shape=jax.ShapeDtypeStruct((R, C), x.dtype),
+        scratch_shapes=[pltpu.VMEM((R, C), x.dtype)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+    )(x, mods, rot9, trans3, bias_i, bias_m, cosr, sinr, fh, S, S.T,
+      ssc, spt, ev, ept,
+      ln_sc.reshape(NL, 1, C), ln_b.reshape(NL, 1, C),
+      wq_i, bq_i.reshape(NL, 1, HCh), wk_i, bk_i.reshape(NL, 1, HCh),
+      wv_i, bv_i.reshape(NL, 1, HCh),
+      wqp, bqp.reshape(NL, 1, 3 * HPq), wkp, bkp.reshape(NL, 1, 3 * HPq),
+      wvp, bvp.reshape(NL, 1, 3 * HPv), hw.reshape(NL, 1, Hi),
+      wo_i, bo_i.reshape(NL, 1, C),
+      wqkv_m, bqkv_m.reshape(NL, 1, 3 * C), wo_m, bo_m.reshape(NL, 1, C),
+      bkm.reshape(NL, 1, C), bvm.reshape(NL, 1, C),
+      w1, b1.reshape(NL, 1, F), w2, b2.reshape(NL, 1, C))
+    return out
+
+# ---------------------------------------------------------------------------
+# dispatcher
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+def _encoder_pallas(x, mods, ws, rot, trans, mask, Hm, Hi, Ch, Pq, Pv,
+                    interpret=False):
+    return _encoder_fwd_only(x, mods, ws, rot, trans, mask, Hm, Hi, Ch, Pq,
+                             Pv, interpret)
+
+
+def _encoder_fwd_only(x, mods, ws, rot, trans, mask, Hm, Hi, Ch, Pq, Pv,
+                      interpret):
+    B, L, C = x.shape
+    NL = ws[0].shape[0]
+    xr = x.transpose(1, 0, 2).reshape(L * B, C)             # l-major rows
+    mods_r = mods.reshape(B, NL, 6, C).transpose(1, 2, 0, 3)  # (NL, 6, B, C)
+    rot9 = rot.astype(jnp.float32).transpose(1, 0, 2, 3).reshape(L * B, 9)
+    tr3 = trans.astype(jnp.float32).transpose(1, 0, 2).reshape(L * B, 3)
+    square = mask[:, :, None] * mask[:, None, :]             # (B, Lq, Lk)
+    bias_i = (_INF * (square - 1.0)).astype(jnp.float32)
+    bias_i = bias_i.transpose(1, 0, 2).reshape(L * B, L)
+    bias_m = jnp.concatenate(
+        [(mask.astype(jnp.float32) - 1.0) * -_NEG_INF,
+         jnp.zeros((B, 1), jnp.float32)], axis=1)            # (B, L+1)
+    out = _encoder_call(xr, mods_r, ws, rot9, tr3, bias_i, bias_m,
+                        Hm, Hi, Ch, Pq, Pv, B, L, interpret)
+    return out.reshape(L, B, C).transpose(1, 0, 2)
+
+
+def _enc_fwd(x, mods, ws, rot, trans, mask, Hm, Hi, Ch, Pq, Pv, interpret):
+    out = _encoder_fwd_only(x, mods, ws, rot, trans, mask, Hm, Hi, Ch, Pq,
+                            Pv, interpret)
+    return out, (x, mods, ws, rot, trans, mask)
+
+
+def _enc_bwd(Hm, Hi, Ch, Pq, Pv, interpret, res, g):
+    """VJP through the XLA twin — the encoder is tiny, so recompute-and-
+    differentiate in XLA costs what the unfused encoder did."""
+    x, mods, ws, rot, trans, mask = res
+    NL = ws[0].shape[0]
+    dtype = x.dtype
+
+    def f(x_, mods_, ws_, rot_, trans_):
+        lws = [tuple(w[i] for w in ws_) for i in range(NL)]
+        return encoder_xla(x_, mods_, lws, Rigid(rot_, trans_), mask,
+                           Hm, Hi, Ch, Pq, Pv, dtype)
+
+    _, vjp = jax.vjp(f, x, mods, ws, rot, trans)
+    dx, dmods, dws, drot, dtrans = vjp(g)
+    return dx, dmods, dws, drot, dtrans, None
+
+
+_encoder_pallas.defvjp(_enc_fwd, _enc_bwd)
+
+
+def ipa_encoder(x, mods, ws, frames: Rigid, mask, *, num_heads_mha: int,
+                Hi: int, Ch: int, Pq: int, Pv: int,
+                force_xla: bool = False, force_pallas: bool = False):
+    """The full prepend-IPA encoder stack as one op. x (B, L, C); mods
+    (B, NL*6C) — every layer's 6-way AdaLN output; ``ws`` = the 27-tuple of
+    NL-stacked kernel weights (fold_encoder_ws). One streaming Pallas grid
+    on TPU; the module-identical XLA twin elsewhere and for the backward.
+    Reference encoder: src/mdgen/model/latent_model.py:179-214."""
+    import os
+
+    from ..parallel.kernel_sharding import get_kernel_mesh, shard_map_batch0
+
+    B, L, C = x.shape
+    NL = ws[0].shape[0]
+    env = os.environ.get("MDGEN_IPA_ENC", "")
+    force_xla = force_xla or env == "xla"
+    force_pallas = force_pallas or env == "pallas"
+    # the per-key j loops unroll L times — the kernel targets the peptide
+    # regime (small L); large-L configs (ATLAS crop-256) keep the XLA twin
+    use_pallas = force_pallas or (
+        not force_xla and jax.default_backend() == "tpu"
+        and C % 128 == 0 and (B * L) % 8 == 0 and L <= 8
+    )
+
+    def xla_path(x_, mods_, rot_, trans_, mask_, *flat_ws):
+        lws = [tuple(w[i] for w in flat_ws) for i in range(NL)]
+        return encoder_xla(x_, mods_, lws, Rigid(rot_, trans_), mask_,
+                           num_heads_mha, Hi, Ch, Pq, Pv, x.dtype)
+
+    if use_pallas:
+        interp = jax.default_backend() != "tpu"
+
+        def local(x_, mods_, rot_, trans_, mask_, *flat_ws):
+            return _encoder_pallas(x_, mods_, tuple(flat_ws), rot_, trans_,
+                                   mask_, num_heads_mha, Hi, Ch, Pq, Pv, interp)
+
+        if jax.device_count() > 1 or get_kernel_mesh() is not None:
+            batched = (True, True, True, True, True) + (False,) * len(ws)
+            out = shard_map_batch0(local, batched, x, mods, frames.rot,
+                                   frames.trans, mask, *ws)
+            if out is not None:
+                return out
+            if not force_pallas:
+                return xla_path(x, mods, frames.rot, frames.trans, mask, *ws)
+        return local(x, mods, frames.rot, frames.trans, mask, *ws)
+    return xla_path(x, mods, frames.rot, frames.trans, mask, *ws)
