@@ -473,7 +473,10 @@ class LatentMDGen(nn.Module):
             fin = (wfin, bfin)
         wmods = jnp.concatenate(wmod_cols, axis=1).astype(self.dtype)
         bmods = jnp.concatenate(bmod_cols).astype(self.dtype)
-        ws = tuple(jnp.stack([p[1][k] for p in packs]) for k in range(16))
+        from ..ops.fused_layer import pad_stage2_ws
+        ws = pad_stage2_ws(
+            tuple(jnp.stack([p[1][k] for p in packs]) for k in range(16)),
+            self.cfg.model.mha_heads)
         enc = self.make_encoder_pack() if self.cfg.model.prepend_ipa else None
         return (wmods, bmods, ws, fin, enc)
 
@@ -525,11 +528,13 @@ class LatentMDGen(nn.Module):
         if self.parent_trunk:
             pack = trunk_pack if trunk_pack is not None else self.make_trunk_pack()
 
+        enc = None
         if cfg.model.prepend_ipa:
             enc = self.run_ipa(
                 t_emb, mask[:, 0], start_frames, end_frames, aatype, x_d=x_d,
                 enc_pack=pack[4] if pack is not None else None,
             )
+        if not self.fused_trunk and enc is not None:
             h = h + jnp.tile(enc, (1, T, 1))  # row t*L+l <- enc[:, l]
         if self.fused_trunk:
             # padded-trunk fast path: the frame-pad to Tp (and its inverse
@@ -538,6 +543,10 @@ class LatentMDGen(nn.Module):
             # kernel with no pad/slice/reshape relayouts between them
             Tp = -(-T // 8) * 8
             h = h.reshape(B, T, L * C)
+            if enc is not None:
+                # broadcast add in the trunk layout (lane-block l <- enc[:, l])
+                # — a row-tile here would relayout the full trunk
+                h = h + enc.reshape(B, 1, L * C)
             if Tp != T:
                 h = jnp.pad(h, ((0, 0), (0, Tp - T), (0, 0)))
             if self.parent_trunk:

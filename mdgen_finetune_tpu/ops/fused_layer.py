@@ -421,11 +421,19 @@ def _trunk_call(x, mods, ws, mask, num_heads: int, T: int, L: int,
         pads[axis + 1] = (0, Dp - D)
         return jnp.pad(a, pads)
 
-    wqkv_t_p = dpad(wqkv_t, (C, 3, H, D), 3).reshape(NL, C, 3 * Cp)
-    bqkv_t_p = dpad(bqkv_t.reshape(NL, -1), (3, H, D), 2).reshape(NL, 1, 3 * Cp)
-    wout_t_p = dpad(wout_t, (H, D, C), 1).reshape(NL, Cp, C)
-    bkt_p = dpad(bkt.reshape(NL, -1), (H, D), 1).reshape(NL, 1, Cp)
-    bvt_p = dpad(bvt.reshape(NL, -1), (H, D), 1).reshape(NL, 1, Cp)
+    if wqkv_t.shape[-1] == 3 * Cp and Dp != D:
+        # pre-padded by pad_stage2_ws in the hoisted pack
+        wqkv_t_p = wqkv_t
+        bqkv_t_p = bqkv_t.reshape(NL, 1, 3 * Cp)
+        wout_t_p = wout_t
+        bkt_p = bkt.reshape(NL, 1, Cp)
+        bvt_p = bvt.reshape(NL, 1, Cp)
+    else:
+        wqkv_t_p = dpad(wqkv_t, (C, 3, H, D), 3).reshape(NL, C, 3 * Cp)
+        bqkv_t_p = dpad(bqkv_t.reshape(NL, -1), (3, H, D), 2).reshape(NL, 1, 3 * Cp)
+        wout_t_p = dpad(wout_t, (H, D, C), 1).reshape(NL, Cp, C)
+        bkt_p = dpad(bkt.reshape(NL, -1), (H, D), 1).reshape(NL, 1, Cp)
+        bvt_p = dpad(bvt.reshape(NL, -1), (H, D), 1).reshape(NL, 1, Cp)
 
     def tpad_np(base):
         """(n, C) rope table -> (n, Cp) with cos = sin = 0 on pad lanes."""
@@ -812,6 +820,65 @@ def fused_layer(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_t,
 # whole-trunk mega-kernel: every layer in ONE pallas_call
 # ---------------------------------------------------------------------------
 
+# indices of the stage-2 (frame attention) entries in the 16-tuple
+_S2_IDX = (4, 5, 6, 14, 15)  # wqkv_t, bqkv_t, wout_t, bkt, bvt
+
+
+def _stage2_dims(C: int, num_heads: int):
+    D = C // num_heads
+    Dp = 32 if 128 % D else D
+    return D, Dp, num_heads * Dp
+
+
+def pad_stage2_ws(ws, num_heads: int):
+    """Pre-apply the stage-2 lane-padded head layout (Dp = 32 when D = 24)
+    to the NL-stacked trunk weights — in the hoisted pack this runs once per
+    sample call instead of once per ODE step (~22 us/step of pad copies)."""
+    C = ws[0].shape[1]
+    D, Dp, Cp = _stage2_dims(C, num_heads)
+    if Dp == D:
+        return ws
+    NL = ws[0].shape[0]
+    H = num_heads
+
+    def dpad(a, part, axis):
+        a = a.reshape((NL,) + part)
+        pads = [(0, 0)] * a.ndim
+        pads[axis + 1] = (0, Dp - D)
+        return jnp.pad(a, pads)
+
+    w = list(ws)
+    w[4] = dpad(ws[4], (C, 3, H, D), 3).reshape(NL, C, 3 * Cp)
+    w[5] = dpad(ws[5].reshape(NL, -1), (3, H, D), 2).reshape(NL, 3 * Cp)
+    w[6] = dpad(ws[6], (H, D, C), 1).reshape(NL, Cp, C)
+    w[14] = dpad(ws[14].reshape(NL, -1), (H, D), 1).reshape(NL, Cp)
+    w[15] = dpad(ws[15].reshape(NL, -1), (H, D), 1).reshape(NL, Cp)
+    return tuple(w)
+
+
+def unpad_stage2_ws(ws, num_heads: int):
+    """Exact inverse of pad_stage2_ws (the pad lanes are zeros)."""
+    C = ws[0].shape[1]
+    D, Dp, Cp = _stage2_dims(C, num_heads)
+    if Dp == D or ws[4].shape[-1] == 3 * C:
+        return ws
+    NL = ws[0].shape[0]
+    H = num_heads
+
+    def dslice(a, part, axis):
+        a = a.reshape((NL,) + part)
+        idx = [slice(None)] * a.ndim
+        idx[axis + 1] = slice(0, D)
+        return a[tuple(idx)]
+
+    w = list(ws)
+    w[4] = dslice(ws[4], (C, 3, H, Dp), 3).reshape(NL, C, 3 * C)
+    w[5] = dslice(ws[5].reshape(NL, -1), (3, H, Dp), 2).reshape(NL, 3 * C)
+    w[6] = dslice(ws[6], (H, Dp, C), 1).reshape(NL, C, C)
+    w[14] = dslice(ws[14].reshape(NL, -1), (H, Dp), 1).reshape(NL, C)
+    w[15] = dslice(ws[15].reshape(NL, -1), (H, Dp), 1).reshape(NL, C)
+    return tuple(w)
+
 # all layers' weights must fit VMEM alongside the activations; beyond this
 # the per-layer whole-layer kernel (which streams one layer's weights at a
 # time) is the right shape
@@ -844,6 +911,10 @@ def _ft_bwd(num_heads, T, L, interpret, res, grad):
     NL = x1s.shape[1]
     C = x.shape[2] // L
     mods_r = mods.reshape(B, NL, 9 * C)
+    # the per-layer stage backwards take the unpadded-head weights; grads
+    # are re-padded below to match the primal's (possibly pre-padded) shape
+    padded_in = ws[4].shape[-1] != 3 * C
+    ws_u = unpad_stage2_ws(ws, num_heads)
 
     if fin is not None:
         # x_ins carries NL slots here; the last is the final trunk output
@@ -864,7 +935,7 @@ def _ft_bwd(num_heads, T, L, interpret, res, grad):
     dws = [[None] * NL for _ in range(16)]
     for i in reversed(range(NL)):
         x_in = x if i == 0 else x_ins[:, i - 1]
-        w_i = tuple(w[i] for w in ws)
+        w_i = tuple(w[i] for w in ws_u)
         grads = fused_layer_bwd(x_in, mods_r[:, i], *w_i, mask,
                                 x1s[:, i], x2s[:, i], g,
                                 num_heads=num_heads, T=T, L=L,
@@ -875,8 +946,12 @@ def _ft_bwd(num_heads, T, L, interpret, res, grad):
             dws[k][i] = grads[2 + k]
     del n_xin
     dmods_st = jnp.stack(dmods, axis=1).reshape(mods.shape).astype(mods.dtype)
-    dws_st = tuple(jnp.stack(dws[k]).reshape(jnp.shape(ws[k])).astype(ws[k].dtype)
+    dws_st = tuple(jnp.stack(dws[k]).reshape(jnp.shape(ws_u[k])).astype(ws[k].dtype)
                    for k in range(16))
+    if padded_in:
+        # the pre-pad's pad region is zeros and its adjoint slices it away,
+        # so zero pad-grads are the consistent cotangent
+        dws_st = pad_stage2_ws(dws_st, num_heads)
     return (g.astype(x.dtype), dmods_st, dws_st, dfin, None)
 
 
@@ -943,6 +1018,7 @@ def fused_trunk(x, mods, ws, mask, *, num_heads: int, tl: tuple,
         else:
             ws_ = rest[:-1]
         mask_ = rest[-1]
+        ws_ = unpad_stage2_ws(tuple(ws_), num_heads)  # fused_layer takes raw
         h = x_
         for i in range(NL):
             h = fused_layer(h, mods_[:, i * 9 * C:(i + 1) * 9 * C],

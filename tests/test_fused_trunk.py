@@ -181,3 +181,45 @@ def test_folded_final_head_matches_xla(T=8):
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32), rtol=0, atol=3e-5)
+
+
+def test_prepadded_pack_matches_raw(T=8):
+    """pad_stage2_ws pre-padding (hoisted pack) must be output- and
+    gradient-equivalent to passing raw weights, in the lane-padded head
+    regime (C=192, H=8 -> D=24, Dp=32)."""
+    from mdgen_finetune_tpu.ops.fused_layer import (
+        _fused_trunk_pallas, _pad_trunk, pad_stage2_ws, unpad_stage2_ws)
+
+    B, L, C, H, NL = 2, 4, 192, 8, 2
+    rng = np.random.default_rng(21)
+    r = lambda *s, sc=0.2: jnp.asarray(rng.normal(size=s), jnp.bfloat16) * sc
+    x = _pad_trunk(r(B, T * L, C, sc=0.5), T, L, C)
+    mods = r(B, NL * 9 * C)
+    shapes = [(C, 3 * C), (3 * C,), (C, C), (C,), (C, 3 * C), (3 * C,), (C, C), (C,),
+              (C, 4 * C), (4 * C,), (4 * C, C), (C,), (C,), (C,), (C,), (C,)]
+    ws = tuple(jnp.stack([r(*s, sc=C ** -0.5 if len(s) == 2 else 0.3)
+                          for _ in range(NL)]) for s in shapes)
+    wsp = pad_stage2_ws(ws, H)
+    assert wsp[4].shape[-1] == 3 * 8 * 32
+    for a, b in zip(unpad_stage2_ws(wsp, H), ws):
+        np.testing.assert_array_equal(np.asarray(a, np.float32), np.asarray(b, np.float32))
+    mask = jnp.ones((B, T, L), jnp.float32)
+
+    def run(wset):
+        return lambda x_, mods_, *flat: _fused_trunk_pallas(
+            x_, mods_, tuple(flat), None, mask, H, T, L, True)
+
+    o1 = run(ws)(x, mods, *ws)
+    o2 = run(wsp)(x, mods, *wsp)
+    np.testing.assert_array_equal(np.asarray(o1, np.float32), np.asarray(o2, np.float32))
+
+    w_out = jnp.asarray(rng.normal(size=o1.shape), jnp.float32)
+
+    def loss(fn, wset):
+        return lambda x_, mods_: jnp.sum(fn(x_, mods_, *wset).astype(jnp.float32) * w_out)
+
+    g1 = jax.grad(loss(run(ws), ws), argnums=(0, 1))(x, mods)
+    g2 = jax.grad(loss(run(wsp), wsp), argnums=(0, 1))(x, mods)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32), rtol=0, atol=1e-5)
