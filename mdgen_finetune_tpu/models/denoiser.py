@@ -513,6 +513,12 @@ class LatentMDGen(nn.Module):
         h = self.latent_to_emb(x.reshape(B, T * L, x.shape[-1]))
         C = h.shape[-1]
         if cfg.model.abs_pos_emb:
+            if L > self.pos_embed.shape[0]:
+                raise ValueError(
+                    f"peptide length {L} exceeds the absolute position table "
+                    f"(cfg.data.crop = {self.pos_embed.shape[0]}); with "
+                    f"--abs_pos_emb the model is built for crop-length "
+                    f"peptides (reference latent_model.py pos_embed)")
             pos = self.pos_embed[:L].astype(self.dtype)  # (L, C)
             h = h + jnp.tile(pos, (T, 1))[None]
         if cfg.model.abs_time_emb:
