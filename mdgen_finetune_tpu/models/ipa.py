@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..geometry.rigid import Rigid
-from .layers import dense, zero_init
+from .layers import zero_init
 
 _INF = 1e5
 

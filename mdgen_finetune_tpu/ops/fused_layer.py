@@ -925,11 +925,9 @@ def _ft_bwd(num_heads, T, L, interpret, res, grad):
         g, dmodf, dwfin, dbfin = fvjp(grad)
         dfin = (dmodf.astype(fin[0].dtype), dwfin.astype(fin[1].dtype),
                 dbfin.astype(fin[2].dtype))
-        n_xin = NL
     else:
         g = grad
         dfin = None
-        n_xin = NL - 1
 
     dmods = [None] * NL
     dws = [[None] * NL for _ in range(16)]
@@ -944,7 +942,6 @@ def _ft_bwd(num_heads, T, L, interpret, res, grad):
         dmods[i] = grads[1]
         for k in range(16):
             dws[k][i] = grads[2 + k]
-    del n_xin
     dmods_st = jnp.stack(dmods, axis=1).reshape(mods.shape).astype(mods.dtype)
     dws_st = tuple(jnp.stack(dws[k]).reshape(jnp.shape(ws_u[k])).astype(ws[k].dtype)
                    for k in range(16))

@@ -478,12 +478,8 @@ def _encoder_call(x, mods, ws, rot9, trans3, bias_i, bias_m, Hm, Hi, Ch, Pq,
         (C, 3 * HPv), (1, 3 * HPv), (1, Hi), (FEAT, C), (1, C),
         (C, 3 * C), (1, 3 * C), (C, C), (1, C), (1, C), (1, C),
         (C, F), (1, F), (F, C), (1, C)]]
-    # per_layer index maps take only the layer grid index; ref inside sees
-    # the (1, ...) block — kernel indexes with [li]... so use block [li] = 0.
-    # Simpler: pass FULL stacked arrays replicated and index [li] in-kernel
-    # for the tiny ones? Streaming needs per-layer blocks; the kernel indexes
-    # w_ref[0] — with per-layer blocks the ref is (1, ...) so [li] is wrong.
-    # -> kernel uses [0]; set num_layers blocks so w_ref[0] is layer li.
+    # per-layer BlockSpecs stream layer i's block into the program, so the
+    # kernel reads every weight ref at leading index [0]
 
     out = pl.pallas_call(
         functools.partial(_kernel, num_heads_mha=Hm, Hi=Hi, Ch=Ch, Pq=Pq,
