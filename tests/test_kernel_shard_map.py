@@ -147,3 +147,53 @@ def test_fused_trunk_shard_map_matches_per_layer():
     gx = jax.grad(lambda *aa: jnp.sum(ref_fn(*aa) ** 2), argnums=(0, 1, 2, 10))(x, mods, *ws)
     for p, r in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(p), np.asarray(r), atol=2e-3, rtol=1e-3)
+
+
+def test_ipa_encoder_shard_map_matches_twin():
+    """Fused IPA-encoder kernel under the dp x sp mesh: forward and
+    gradients match the single-device XLA twin (which the parent-vs-module
+    bit-equality test pins to the IPALayer modules)."""
+    from mdgen_finetune_tpu.geometry.rigid import Rigid
+    from mdgen_finetune_tpu.ops.ipa_encoder import encoder_xla, ipa_encoder
+
+    B, L, C, Hm, Hi, Ch, Pq, Pv, NL = 8, 4, 128, 8, 4, 32, 8, 8, 2
+    HCh, HPq, HPv = Hi * Ch, Hi * Pq, Hi * Pv
+    FEAT = HCh + 4 * HPv
+    shapes = [(C,), (C,), (C, HCh), (HCh,), (C, HCh), (HCh,), (C, HCh), (HCh,),
+              (C, 3 * HPq), (3 * HPq,), (C, 3 * HPq), (3 * HPq,),
+              (C, 3 * HPv), (3 * HPv,), (Hi,), (FEAT, C), (C,),
+              (C, 3 * C), (3 * C,), (C, C), (C,), (C,), (C,),
+              (C, 4 * C), (4 * C,), (4 * C, C), (C,)]
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(B, L, C)), jnp.float32) * 0.5
+    mods = jnp.asarray(rng.normal(size=(B, NL * 6 * C)), jnp.float32) * 0.2
+
+    def w(s, i):
+        sc = 0.3 if len(s) == 1 else (s[0] ** -0.5)
+        return jnp.asarray(rng.normal(size=s), jnp.float32) * sc + (1.0 if i == 0 else 0.0)
+
+    ws = tuple(jnp.stack([w(s, i) for _ in range(NL)])
+               for i, s in enumerate(shapes))
+    frames = Rigid.identity((B, L))
+    mask = jnp.ones((B, L), jnp.float32)
+    mesh = make_mesh(4, 2)
+
+    def run_mesh(x_, mods_, *flat):
+        with kernel_mesh(mesh):
+            return ipa_encoder(x_, mods_, tuple(flat), frames, mask,
+                               num_heads_mha=Hm, Hi=Hi, Ch=Ch, Pq=Pq, Pv=Pv,
+                               force_pallas=True)
+
+    def run_twin(x_, mods_, *flat):
+        lws = [tuple(wk[i] for wk in flat) for i in range(NL)]
+        return encoder_xla(x_, mods_, lws, frames, mask, Hm, Hi, Ch, Pq, Pv,
+                           x_.dtype)
+
+    got = run_mesh(x, mods, *ws)
+    ref = run_twin(x, mods, *ws)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-4)
+
+    gm = jax.grad(lambda *a: jnp.sum(run_mesh(*a) ** 2), argnums=(0, 1, 4))(x, mods, *ws)
+    gt = jax.grad(lambda *a: jnp.sum(run_twin(*a) ** 2), argnums=(0, 1, 4))(x, mods, *ws)
+    for a, b in zip(gm, gt):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3, rtol=1e-3)
