@@ -23,17 +23,60 @@ from jax.experimental import pallas as pl
 _EPS = 1e-6
 
 
-def _erf(z):
-    """Abramowitz & Stegun 7.1.26 rational approximation of erf (f32, max
-    abs error 1.5e-7 — far below bf16 activation precision). Mosaic has no
-    native erf lowering."""
-    a1, a2, a3, a4, a5 = 0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
-    p = 0.3275911
-    s = jnp.sign(z)
-    za = jnp.abs(z)
-    t = 1.0 / (1.0 + p * za)
-    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
-    return s * (1.0 - poly * jnp.exp(-za * za))
+# algebraic-sigmoid erf fit: erf(a / sqrt(2)) ~ t / sqrt(1 + t^2) with
+# t = a * P(a^2); the form saturates naturally (no exp / divide / sign
+# needed — rsqrt is a hardware op). Gauss-Newton minimax fit on |a| <= 6,
+# max |gelu_fast - gelu_erf| = 3.1e-6 in f32 (pinned by
+# tests/test_ops_misc.py) — far below bf16 activation precision.
+_GELU_KS = (0.7978897385184551, 0.1209525826782068, 0.01430655034343819,
+            0.001052622232039885, 8.464102549244166e-05,
+            -8.500703886997695e-07, 3.9460520220406365e-07)
+
+
+def _gelu_fast(a):
+    """erf-GELU via the algebraic-sigmoid erf fit above: ~13 cheap VPU ops
+    (one rsqrt), no exp / divide / compare — the previous A&S erf chain
+    (exp + divide + sign/select) measured
+    0.079 ms/layer of the 0.677 ms whole-layer kernel at the bench shape
+    (PERF.md r3, the largest single non-matmul cost). |a| > 6 clamps to the
+    saturated branch (erf(6/sqrt(2)) = 1 - 2e-9), which also keeps t finite
+    for arbitrarily large inputs."""
+    z = jnp.clip(a, -6.0, 6.0)
+    u = z * z
+    p = _GELU_KS[6]
+    for k in _GELU_KS[5::-1]:
+        p = p * u + k
+    t = z * p
+    f = t * jax.lax.rsqrt(1.0 + t * t)
+    # the negative saturated branch pins to exactly 0 (a * the ~3e-8 fit
+    # residual at the clamp would otherwise grow with |a|)
+    return jnp.where(a < -6.0, 0.0, a * (0.5 + 0.5 * f))
+
+
+def _gelu_fast_with_grad(a):
+    """(gelu_fast(a), d gelu_fast / da) — the analytic derivative of the
+    algebraic form (identical math to XLA autodiff of `_gelu_fast`:
+    df/dt = (1+t^2)^(-3/2), dz/da = 1{|a| <= 6}), for the fused Pallas
+    backward kernels which rematerialize the forward."""
+    z = jnp.clip(a, -6.0, 6.0)
+    u = z * z
+    p = _GELU_KS[6]
+    pp = 6.0 * _GELU_KS[6]
+    for i in range(5, 0, -1):
+        p = p * u + _GELU_KS[i]
+        pp = pp * u + i * _GELU_KS[i]
+    p = p * u + _GELU_KS[0]
+    t = z * p
+    r = jax.lax.rsqrt(1.0 + t * t)
+    f = t * r
+    phi = 0.5 + 0.5 * f
+    dtdz = p + 2.0 * u * pp
+    fp = (r * r * r) * dtdz
+    fp = jnp.where(jnp.abs(a) < 6.0, fp, 0.0)
+    neg = a < -6.0
+    val = jnp.where(neg, 0.0, a * phi)
+    dval = jnp.where(neg, 0.0, phi + (0.5 * a) * fp)
+    return val, dval
 
 
 def _kernel(x_ref, sh_ref, sc_ref, g_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
@@ -47,7 +90,7 @@ def _kernel(x_ref, sh_ref, sc_ref, g_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref)
     a = jax.lax.dot_general(
         h, w1_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ) + b1_ref[...].astype(jnp.float32)  # (bn, 4C)
-    a = a * 0.5 * (1.0 + _erf(a * (2.0**-0.5)))  # erf-GELU in f32
+    a = _gelu_fast(a)  # erf-GELU in f32
     y = jax.lax.dot_general(
         a.astype(x.dtype), w2_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -95,16 +138,16 @@ def _pallas_fwd(x, sh, sc, g, w1, b1, w2, b2, interpret: bool = False, block_row
 
 # ---------------------------------------------------------------------------
 def _xla_impl(x, sh, sc, g, w1, b1, w2, b2):
-    """Reference composition (CPU path and VJP backward)."""
-    import math
-
+    """Reference composition (CPU path and VJP backward). Uses the same
+    `_gelu_fast` as the kernels so kernel-vs-twin parity is exact; the fit
+    itself is pinned against lax.erf-GELU at 3.1e-6."""
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.var(x32, axis=-1, keepdims=True)
     h = ((x32 - mean) * jax.lax.rsqrt(var + _EPS)).astype(x.dtype)
     h = h * (1 + sc[:, None]) + sh[:, None]
     a = h @ w1.astype(h.dtype) + b1.astype(h.dtype)
-    a = a * 0.5 * (1.0 + jax.lax.erf(a / math.sqrt(2.0)))
+    a = _gelu_fast(a)
     y = a @ w2.astype(a.dtype) + b2.astype(a.dtype)
     return x + g[:, None] * y
 

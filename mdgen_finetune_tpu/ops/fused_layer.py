@@ -24,7 +24,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .adaln_mlp import _erf
+from .adaln_mlp import _gelu_fast
 from .adaln_mlp import _xla_impl as _mlp_xla
 from .residue_attention import _tables_np as _res_tables_np
 from .residue_attention import _xla_impl as _res_xla
@@ -160,9 +160,12 @@ def _kernel(x_ref, mod_ref, *refs, num_heads: int, head_dim: int, channels: int,
         # LN (f32 lane stats, eps 1e-6) + AdaLN modulate with mod row j over
         # ALL stacked rows in one pass
         x32 = xs.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=1, keepdims=True)
-        var = jnp.mean(x32 * x32, axis=1, keepdims=True) - mean * mean
-        h = (x32 - mean) * jax.lax.rsqrt(var + _LN_EPS)
+        if "l" in stages:  # perf probe: LN lane-stats cost (wrong values)
+            h = x32
+        else:
+            mean = jnp.mean(x32, axis=1, keepdims=True)
+            var = jnp.mean(x32 * x32, axis=1, keepdims=True) - mean * mean
+            h = (x32 - mean) * jax.lax.rsqrt(var + _LN_EPS)
         sh = mod_ref[0, _li, j:j + 1, :].astype(jnp.float32)
         sc = mod_ref[0, _li, j + 1:j + 2, :].astype(jnp.float32)
         return (h * (1.0 + sc) + sh).astype(dt)
@@ -254,11 +257,15 @@ def _kernel(x_ref, mod_ref, *refs, num_heads: int, head_dim: int, channels: int,
 
                 q_all = rope_rows(qkv[:, :Cp])
                 k_all = rope_rows(qkv[:, Cp:2 * Cp])
+            # row-layout softmax core. A transposed-softmax variant
+            # (logits produced (TKt, gh*Tp) off the MXU so max/sum reduce
+            # over sublanes) measured SLOWER — 0.306 vs 0.252 ms stage-2,
+            # 0.790 vs 0.639 whole-layer: the per-group lane-stacked qT
+            # build + final (C, R) -> (R, C) transpose cost more than the
+            # cross-lane reduce trees they removed. PERF.md r3 dead-ends.
             kbTs, vbs = [], []
             for r in range(L):
                 kb_r = jnp.concatenate([k_all[r * Tp:(r + 1) * Tp], bk_blk], axis=0)
-                # hoisted transpose measured identical to a lane-lane
-                # contraction (r3 "T" probe) — keep the explicit form
                 kbTs.append(kb_r.T)  # (Cp, TKt)
                 vbs.append(jnp.concatenate([blk(qkv, r)[:, 2 * Cp:], bv_blk], axis=0))
             atts = []
@@ -277,11 +284,15 @@ def _kernel(x_ref, mod_ref, *refs, num_heads: int, head_dim: int, channels: int,
       # ---- stage 3: MLP ----
       if "3" in stages:
         a = matmul(modln(X2, 6), w1, b1)  # (R, 4C) f32
-        # gelu stays f32: a bf16 erf chain fails to lower (Mosaic rejects
-        # bf16 cmpf for jnp.sign); a split-halves software pipeline (gelu of
-        # one half overlapping the other's dot) measured neutral — Mosaic
-        # already interleaves VPU/MXU here. Both dead ends, PERF.md r3.
-        a = a * 0.5 * (1.0 + _erf(a * (2.0**-0.5)))
+        # gelu stays f32 via the algebraic-sigmoid fit (adaln_mlp._gelu_fast):
+        # the A&S erf chain (exp + divide + sign/select) measured 0.079
+        # ms/layer — the largest single non-matmul cost in the kernel. A bf16
+        # erf chain fails to lower (Mosaic rejects bf16 cmpf) and a
+        # split-halves software pipeline measured neutral (PERF.md r3).
+        if "g" in stages:  # perf probe: erf-GELU cost (wrong values)
+            a = a * 0.25
+        else:
+            a = _gelu_fast(a)
         y = matmul(a.astype(dt), w2, b2)
         OUT = X2.astype(jnp.float32) + gatev(8) * y
       else:

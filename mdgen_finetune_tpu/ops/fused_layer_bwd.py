@@ -49,15 +49,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .adaln_mlp import _erf
+from .adaln_mlp import _gelu_fast_with_grad
 from .residue_attention import _tables_np as _res_tables_np
 from .time_attention import _group_masks
 from .time_attention import _rope_tables_np as _time_tables_np
 
 _NEG_INF = -1e9
 _LN_EPS = 1e-6
-_INV_SQRT2 = 2.0 ** -0.5
-_INV_SQRT_2PI = float(1.0 / np.sqrt(2.0 * np.pi))
 
 
 # ---------------------------------------------------------------------------
@@ -134,8 +132,8 @@ def _k3(x2_ref, dout_ref, mod_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 
     h3, hh, rstd, sc = _modln_fwd(X2, mod_ref, 6, dt)
     a = _mm(h3, w1_ref[...], 1, 0) + b1_ref[...].astype(jnp.float32)  # (R, F) f32
-    phi_c = 0.5 * (1.0 + _erf(a * _INV_SQRT2))       # Φ(a)
-    ge = (a * phi_c).astype(dt)                      # gelu, bf16 for the dot
+    gelu_a, dgelu = _gelu_fast_with_grad(a)          # same fit as the forward
+    ge = gelu_a.astype(dt)                           # gelu, bf16 for the dot
     y = _mm(ge, w2_ref[...], 1, 0) + b2_ref[...].astype(jnp.float32)  # (R, C)
 
     g8 = mod_ref[0, 8:9, :].astype(jnp.float32)
@@ -145,7 +143,6 @@ def _k3(x2_ref, dout_ref, mod_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     _acc(dw2_ref, _mm(ge, dy, 0, 0), first)          # (F, C)
     _acc(db2_ref, jnp.sum(dy.astype(jnp.float32), axis=0, keepdims=True), first)
     dge = _mm(dy, w2_ref[...], 1, 1)                 # (R, F) f32
-    dgelu = phi_c + a * (_INV_SQRT_2PI * jnp.exp(-0.5 * a * a))
     da = (dge * dgelu).astype(dt)
     _acc(dw1_ref, _mm(h3, da, 0, 0), first)          # (C, F)
     _acc(db1_ref, jnp.sum(da.astype(jnp.float32), axis=0, keepdims=True), first)

@@ -35,7 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..geometry.rigid import Rigid
-from .adaln_mlp import _erf
+from .adaln_mlp import _gelu_fast
 from .residue_attention import _tables_np as _res_tables_np
 
 _LN_EPS = 1e-6
@@ -425,7 +425,7 @@ def _kernel(x_ref, mods_ref, rot_ref, trans_ref, bias_i_ref, bias_m_ref,
 
     # ---- MLP (trunk stage-3 body) ----
     a = matmul(modln(X, sh_m, sc_m), w1_ref[0], b1_ref[0])
-    a = a * 0.5 * (1.0 + _erf(a * (2.0 ** -0.5)))
+    a = _gelu_fast(a)
     y = matmul(a.astype(dt), w2_ref[0], b2_ref[0])
     OUT = (X.astype(f32) + g_m * y).astype(dt)
 

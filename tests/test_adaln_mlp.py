@@ -1,11 +1,19 @@
 """Fused AdaLN-MLP kernel: parity with the XLA composition (interpret mode)
-and gradient plumbing."""
+and gradient plumbing; accuracy pin for the fast erf-GELU."""
+import math
+
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-from mdgen_finetune_tpu.ops.adaln_mlp import _pallas_fwd, _xla_impl, adaln_mlp
+from mdgen_finetune_tpu.ops.adaln_mlp import (
+    _gelu_fast,
+    _gelu_fast_with_grad,
+    _pallas_fwd,
+    _xla_impl,
+    adaln_mlp,
+)
 
 
 def _inputs(B=2, N=40, C=64, F=256, seed=0):
@@ -27,6 +35,35 @@ def test_kernel_matches_xla():
         ref = _xla_impl(*args)
         got = _pallas_fwd(*args, interpret=True, block_rows=32)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5, rtol=1e-4)
+
+
+def test_gelu_fast_accuracy_pin():
+    """The algebraic-sigmoid erf fit (no exp/divide — 0.079 ms/layer of the
+    whole-layer kernel was the A&S erf chain, PERF.md r3) is pinned at
+    5e-6 max abs error vs exact erf-GELU, including the clamped tails, and
+    its hand-derived gradient matches JAX autodiff of the same form."""
+    a = jnp.asarray(np.concatenate([
+        np.linspace(-50.0, 50.0, 20001),
+        np.linspace(-6.5, 6.5, 50001),
+    ]), jnp.float32)
+    exact = a * 0.5 * (1.0 + jax.lax.erf(a / math.sqrt(2.0)))
+    fast = _gelu_fast(a)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(exact), atol=5e-6)
+
+    # analytic grad == autodiff of the same algebraic form
+    val, dval = _gelu_fast_with_grad(a)
+    np.testing.assert_allclose(np.asarray(val), np.asarray(fast), atol=1e-7)
+    auto = jax.vmap(jax.grad(_gelu_fast))(a)
+    np.testing.assert_allclose(np.asarray(dval), np.asarray(auto), atol=1e-5)
+    # ... and tracks the exact erf-GELU derivative
+    dexact = jax.vmap(jax.grad(
+        lambda z: z * 0.5 * (1.0 + jax.lax.erf(z / math.sqrt(2.0)))))(a)
+    np.testing.assert_allclose(np.asarray(dval), np.asarray(dexact), atol=2e-5)
+
+    # huge/non-finite-safe inputs: saturated branch, no NaN/inf from t**2
+    big = jnp.asarray([-1e30, -1e6, 1e6, 1e30], jnp.float32)
+    out = np.asarray(_gelu_fast(big))
+    np.testing.assert_allclose(out, [0.0, 0.0, 1e6, 1e30], rtol=1e-6)
 
 
 def test_grads_flow():
