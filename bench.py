@@ -49,27 +49,34 @@ def main():
     # _i100, reference README.md:50-56) — the product samples with 100
     # dependent denoiser steps per trajectory
 
+    from mdgen_finetune_tpu.models.denoiser import flat_to_latent, latent_to_flat
+
+    P = -(-cfg.latent_dim // 128) * 128
+
     @jax.jit
     def euler_chain(params, x0):
-        # the product's sampling loop shape (transport/samplers.py sample_ode):
-        # N_STEPS dependent denoiser applications inside one lax.scan — no
-        # per-step host dispatch, exactly like batched ODE sampling; the
-        # trunk weight pack is hoisted out of the scan exactly as
-        # InferenceEngine._sample does
+        # the product's sampling loop shape (transport/samplers.py sample_ode
+        # + InferenceEngine._sample flat-latent fast path): N_STEPS dependent
+        # denoiser applications inside one lax.scan — no per-step host
+        # dispatch; the trunk weight pack and the per-step-constant embed
+        # terms are hoisted out of the scan; the carry stays in the padded
+        # trunk layout and the euler update folds into the trunk kernel
+        # (ode_dt), so each step is one trunk pallas_call + the fused
+        # encoder + the t-embedder chain — exactly as _sample does
         dt = 1.0 / N_STEPS
         pack = model.apply(params, method=model.make_trunk_pack)
+        consts = model.apply(params, x_cond, x_cond_mask, mask,
+                             method=model.make_scan_consts)
+        ts = jnp.linspace(0.05, 0.95, N_STEPS)[:, None] * jnp.ones((1, B), jnp.float32)
 
         def step(xc, tk):
-            v = model.apply(
+            return model.apply(
                 params, xc, tk, mask, start_frames=frames, end_frames=frames,
-                x_cond=x_cond, x_cond_mask=x_cond_mask, aatype=aatype,
-                trunk_pack=pack,
-            )
-            return xc + dt * v.astype(xc.dtype), ()
+                aatype=aatype, trunk_pack=pack, scan_consts=consts, ode_dt=dt,
+            ), ()
 
-        ts = jnp.linspace(0.05, 0.95, N_STEPS)[:, None] * jnp.ones((1, B), jnp.float32)
-        xT, _ = jax.lax.scan(step, x0, ts)
-        return xT
+        xT, _ = jax.lax.scan(step, latent_to_flat(x0, P), ts)
+        return flat_to_latent(xT, T, L, cfg.latent_dim)
 
     euler_chain(params, x).block_until_ready()  # compile
 

@@ -54,6 +54,23 @@ from .layers import (
 )
 
 
+def latent_to_flat(z, P: int):
+    """(B, T, L, lat) latent -> the flat-scan carry layout (B, Tp, L*P):
+    rows padded to the 8-sublane multiple, per-residue lane blocks padded to
+    P (the folded output head's 128-rounded width). One-time cost at the
+    edges of the ODE scan (InferenceEngine._sample / bench.py)."""
+    B, T, L, lat = z.shape
+    Tp = -(-T // 8) * 8
+    z = jnp.pad(z, ((0, 0), (0, Tp - T), (0, 0), (0, P - lat)))
+    return z.reshape(B, Tp, L * P)
+
+
+def flat_to_latent(xf, T: int, L: int, lat: int):
+    """Inverse of latent_to_flat: (B, Tp, L*P) -> (B, T, L, lat)."""
+    B, Tp, LP = xf.shape
+    return xf.reshape(B, Tp, L, LP // L)[:, :T, :, :lat]
+
+
 def _ipa_kwargs(cfg: MDGenConfig, dtype):
     m = cfg.model
     return dict(
@@ -480,6 +497,59 @@ class LatentMDGen(nn.Module):
         enc = self.make_encoder_pack() if self.cfg.model.prepend_ipa else None
         return (wmods, bmods, ws, fin, enc)
 
+    @staticmethod
+    def flat_scan_ok(cfg: MDGenConfig) -> bool:
+        """True when the flat-latent sampling fast path applies: the
+        parent-orchestrated fused trunk with the output head folded (plain
+        continuous latents — no design/mpnn reshaping of x)."""
+        m, task = cfg.model, cfg.task
+        return not (m.interleave_ipa or m.hyena or m.no_rope or m.grad_checkpointing
+                    or task.design or task.mpnn or task.dynamic_mpnn)
+
+    def make_scan_consts(self, x_cond, x_cond_mask, mask):
+        """Per-ODE-step-constant embed terms for the flat-latent sampling
+        fast path, computed ONCE per sample call. Everything here depends
+        only on the conditioning — not on (x, t) — yet the reference (and
+        our plain ``__call__``) re-computes it per denoiser call
+        (src/mdgen/model/latent_model.py:216-247); under a 100-step ODE scan
+        it is loop-invariant, and XLA does not hoist it out of the scan.
+
+        Returns ``(wlat_p, const_add)``:
+          - ``wlat_p`` (P, C): the latent_to_emb kernel, rows zero-padded to
+            P = the folded output head's 128-rounded lane-block width, so
+            ``x_flat[:, :, l*P:(l+1)*P] @ wlat_p`` consumes the carry's pad
+            lanes harmlessly (they are exactly zero anyway — the folded
+            head's padded wfin columns emit zeros there);
+          - ``const_add`` (B, Tp, L*C): latent_to_emb bias + abs pos/time
+            tables + cond/mask embeddings, summed in the padded trunk
+            layout (pad rows zero)."""
+        cfg = self.cfg
+        B, T, L = mask.shape
+        C = cfg.model.embed_dim
+        Tp = -(-T // 8) * 8
+        P = -(-self.latent_dim // 128) * 128
+
+        wlat = self.latent_to_emb.variables["params"]["kernel"]  # (lat, C)
+        blat = self.latent_to_emb.variables["params"]["bias"]
+        wlat_p = jnp.pad(wlat.astype(self.dtype), ((0, P - wlat.shape[0]), (0, 0)))
+
+        add = jnp.broadcast_to(blat.astype(self.dtype), (B, T * L, C))
+        if cfg.model.abs_pos_emb:
+            if L > self.pos_embed.shape[0]:
+                raise ValueError(
+                    f"peptide length {L} exceeds the absolute position table "
+                    f"(cfg.data.crop = {self.pos_embed.shape[0]})")
+            add = add + jnp.tile(self.pos_embed[:L].astype(self.dtype), (T, 1))[None]
+        if cfg.model.abs_time_emb:
+            add = add + jnp.repeat(self.time_embed[:T].astype(self.dtype), L, axis=0)[None]
+        if x_cond is not None:
+            add = (add + self.cond_to_emb(x_cond.astype(self.dtype).reshape(B, T * L, -1))
+                   + self.mask_to_emb(x_cond_mask.reshape(B, T * L)))
+        add = add.reshape(B, T, L * C)
+        if Tp != T:
+            add = jnp.pad(add, ((0, 0), (0, Tp - T), (0, 0)))
+        return wlat_p, add.astype(self.dtype)
+
     def __call__(
         self,
         x,
@@ -491,9 +561,22 @@ class LatentMDGen(nn.Module):
         x_cond_mask=None,
         aatype=None,
         trunk_pack=None,
+        scan_consts=None,
+        ode_dt=None,
     ):
         cfg = self.cfg
         task = cfg.task
+        if scan_consts is not None:
+            # flat-latent sampling fast path: ``x`` arrives in the padded
+            # trunk layout (B, Tp, L*P) and the velocity — or with ``ode_dt``
+            # the euler-updated carry — is returned in the same layout; no
+            # embed matmul chain, pad, tile, slice, or reshape runs per ODE
+            # step (the per-step-constant embed terms were precomputed by
+            # make_scan_consts; ~0.3 ms/step of XLA glue at the bench shape,
+            # PERF.md r3)
+            return self._flat_call(x, t, mask, scan_consts, trunk_pack,
+                                   start_frames, end_frames, aatype,
+                                   ode_dt=ode_dt)
         if task.dynamic_mpnn:
             sel = jnp.array([0, x.shape[1] - 1])
             x, x_cond, x_cond_mask, mask = x[:, sel], x_cond[:, sel], x_cond_mask[:, sel], mask[:, sel]
@@ -596,6 +679,45 @@ class LatentMDGen(nn.Module):
                 return logits[:, None]
             latent = latent.at[..., -20:].add(logits[:, None])
         return latent.astype(jnp.float32)
+
+    # ------------------------------------------------------------------
+    # (A whole-t-grid precompute of (mods, modf, enc) scanned as xs was
+    # measured and REMOVED: it saved ~0.1 ms/step of t-embedder/encoder
+    # work but made XLA's compile time scale LINEARLY with the scan length
+    # (~3.4 s/step at the bench shape — the big sliced xs defeat the
+    # while-loop form), turning a 100-step sampling compile into ~6 min.
+    # The per-step t-embedder + fused encoder below cost < 3% of a step.
+
+    def _flat_call(self, x, t, mask, scan_consts, trunk_pack,
+                   start_frames, end_frames, aatype, ode_dt=None):
+        """Fast-path body: trunk-layout x in, trunk-layout velocity out —
+        or, with ``ode_dt``, the euler-updated carry ``x + dt * v`` directly
+        (the embed stage AND the update are folded into the trunk kernel, so
+        the whole denoiser step is one pallas_call + the encoder kernel).
+        Produces bitwise the same valid-row/lane values as ``__call__``
+        (pinned by tests/test_flat_scan.py); pad rows carry garbage that no
+        valid output reads (attention masks them as keys), and pad lanes
+        stay exactly zero (zero wlat_p rows in, zero wfin columns out)."""
+        cfg = self.cfg
+        wlat_p, const_add = scan_consts
+        B, T, L = mask.shape
+        C = cfg.model.embed_dim
+        pack = trunk_pack if trunk_pack is not None else self.make_trunk_pack()
+        wmods, bmods, ws, fin, _enc = pack
+        NL = len(self.layers)
+        t_emb = self.t_embedder(t * cfg.model.time_multiplier).astype(self.dtype)
+        enc = None
+        if cfg.model.prepend_ipa:
+            enc = self.run_ipa(t_emb, mask[:, 0], start_frames, end_frames,
+                               aatype, enc_pack=pack[4])
+        se = nn.silu(t_emb).astype(self.dtype)
+        mods_all = se @ wmods + bmods
+        mods = mods_all[:, :NL * 9 * C]
+        modf = mods_all[:, NL * 9 * C:]
+        return fused_trunk(x, mods, ws, mask, num_heads=cfg.model.mha_heads,
+                           tl=(T, L), final=(modf, *fin),
+                           embed=(wlat_p, const_add, enc),
+                           step_dt=ode_dt)  # (B, Tp, L*P) f32
 
     # ------------------------------------------------------------------
     def forward_inference(self, x, t, mask, **kwargs):

@@ -37,7 +37,8 @@ _LN_EPS = 1e-6
 
 def _kernel(x_ref, mod_ref, *refs, num_heads: int, head_dim: int, channels: int,
             stages: str = "123", num_layers: int = 1, stream_layers: int = 0,
-            fold_final: bool = False):
+            fold_final: bool = False, fold_embed: bool = False,
+            has_enc: bool = False, step_dt=None):
     """Row-stacked layout: the (Tp, L*C) input is restacked ONCE to
     (L*Tp, C) so every projection / out-proj / MLP matmul runs as a single
     MXU op with M = L*Tp rows — the r2 per-residue loop ran each matmul at
@@ -63,6 +64,15 @@ def _kernel(x_ref, mod_ref, *refs, num_heads: int, head_dim: int, channels: int,
     NLt = stream_layers
     if fold_final:
         modf_ref, wfin_ref, bfin_ref, *refs = refs
+    if fold_embed:
+        # ODE-scan fold (flat-latent fast path): x_ref is the f32 carry
+        # (1, Tp, L*P); the first program embeds it (per-residue latent
+        # projection + the precomputed per-step-constant add + the encoder
+        # row), and with ``step_dt`` the last program emits
+        # x + dt * head_out — the whole euler step is ONE pallas_call
+        wlat_ref, cadd_ref, *refs = refs
+        if has_enc:
+            enc_ref, *refs = refs
     (wqkv_l_ref, bqkv_l_ref, wout_l_ref, bout_l_ref,
      wqkv_t_ref, bqkv_t_ref, wout_t_ref, bout_t_ref,
      w1_ref, b1_ref, w2_ref, b2_ref,
@@ -76,12 +86,12 @@ def _kernel(x_ref, mod_ref, *refs, num_heads: int, head_dim: int, channels: int,
     else:
         res_refs = rest
     Tp = x_ref.shape[1]
-    LC = x_ref.shape[2]
+    LC = cadd_ref.shape[2] if fold_embed else x_ref.shape[2]
     L = LC // C
     J = L + 1
     R = L * Tp
     half = D // 2
-    dt = x_ref.dtype
+    dt = cadd_ref.dtype if fold_embed else x_ref.dtype
 
     fh = fh_ref[...]  # (1, C)
 
@@ -133,7 +143,26 @@ def _kernel(x_ref, mod_ref, *refs, num_heads: int, head_dim: int, channels: int,
         # later programs (same b) resume from it
         @pl.when(li_s == 0)
         def _():
-            xbuf[...] = restack()
+            if fold_embed:
+                # embed stage on the f32 carry: per-residue lane block
+                # x[:, r*P:(r+1)*P] @ wlat (zero pad rows) -> bf16, + the
+                # precomputed constant add (+ encoder row) — same op order
+                # and roundings as the XLA twin in denoiser._flat_call
+                P = wlat_ref.shape[0]
+                wl = wlat_ref[...]
+                rows = []
+                for r in range(L):
+                    hr = jax.lax.dot_general(
+                        x_ref[0][:, r * P:(r + 1) * P].astype(dt), wl,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ).astype(dt) + cadd_ref[0][:, r * C:(r + 1) * C]
+                    if has_enc:
+                        hr = hr + enc_ref[0, 0:1, r * C:(r + 1) * C]
+                    rows.append(hr)
+                xbuf[...] = jnp.concatenate(rows, axis=0)
+            else:
+                xbuf[...] = restack()
 
         X = xbuf[...]
     else:
@@ -257,17 +286,22 @@ def _kernel(x_ref, mod_ref, *refs, num_heads: int, head_dim: int, channels: int,
 
                 q_all = rope_rows(qkv[:, :Cp])
                 k_all = rope_rows(qkv[:, Cp:2 * Cp])
-            # row-layout softmax core. A transposed-softmax variant
-            # (logits produced (TKt, gh*Tp) off the MXU so max/sum reduce
-            # over sublanes) measured SLOWER — 0.306 vs 0.252 ms stage-2,
-            # 0.790 vs 0.639 whole-layer: the per-group lane-stacked qT
-            # build + final (C, R) -> (R, C) transpose cost more than the
-            # cross-lane reduce trees they removed. PERF.md r3 dead-ends.
+            # row-layout softmax core with the reduce trees batched across
+            # every (residue, head-group) block (_grouped_attend_all). A
+            # transposed-softmax variant (logits (TKt, gh*Tp) off the MXU so
+            # max/sum reduce over sublanes) measured SLOWER — 0.306 vs 0.252
+            # ms stage-2: the lane-stacked qT build + final transpose cost
+            # more than the reduce trees removed. PERF.md r3 dead-ends.
             kbTs, vbs = [], []
             for r in range(L):
                 kb_r = jnp.concatenate([k_all[r * Tp:(r + 1) * Tp], bk_blk], axis=0)
                 kbTs.append(kb_r.T)  # (Cp, TKt)
                 vbs.append(jnp.concatenate([blk(qkv, r)[:, 2 * Cp:], bv_blk], axis=0))
+            # (a reduce-tree-BATCHED variant — all (r, group) blocks' logits
+            # row-concatenated so one max/exp/sum chain serves the stage —
+            # measured 0.283 vs 0.250 ms stage-2: the 3.4 MB/program logits
+            # concat copy costs more than the merged trees save. The trees
+            # are element-throughput-bound, not invocation-bound.)
             atts = []
             for r in range(L):
                 att = _grouped_attend(
@@ -359,7 +393,15 @@ def _kernel(x_ref, mod_ref, *refs, num_heads: int, head_dim: int, channels: int,
                 ).astype(dt) + bfin_ref[...].astype(dt)
                 OPL = wfin_ref.shape[1]
                 for r in range(L):
-                    o_ref[0, :, r * OPL:(r + 1) * OPL] = blk(y, r).astype(o_ref.dtype)
+                    if step_dt is not None:
+                        # folded euler update: out = carry + dt * velocity
+                        # (identical to the sampler's xc + dt * v — v is the
+                        # f32-cast bf16 head output either way)
+                        o_ref[0, :, r * OPL:(r + 1) * OPL] = (
+                            x_ref[0][:, r * OPL:(r + 1) * OPL]
+                            + step_dt * blk(y, r).astype(jnp.float32))
+                    else:
+                        o_ref[0, :, r * OPL:(r + 1) * OPL] = blk(y, r).astype(o_ref.dtype)
             else:
                 for r in range(L):
                     o_ref[0, :, r * C:(r + 1) * C] = blk(X, r).astype(o_ref.dtype)
@@ -371,7 +413,8 @@ def _kernel(x_ref, mod_ref, *refs, num_heads: int, head_dim: int, channels: int,
 
 def _trunk_call(x, mods, ws, mask, num_heads: int, T: int, L: int,
                 interpret: bool = False, stages: str = "123",
-                save_residuals: bool = False, final=None):
+                save_residuals: bool = False, final=None, embed=None,
+                step_dt=None):
     """One pallas_call over ``NL`` layers. ``x`` (B, Tp, L*C) frame-padded;
     ``mods`` (B, NL, 9C); ``ws`` = 16-tuple of NL-stacked weights in their
     original (unpadded-head) shapes. Returns the padded-trunk output, plus
@@ -381,7 +424,13 @@ def _trunk_call(x, mods, ws, mask, num_heads: int, T: int, L: int,
     projection never materialize on the full trunk in HBM — and the first
     output becomes the latent, (B, Tp, L*OP) f32, OP = out rounded to 128
     lanes."""
-    B, _, LC = x.shape
+    B = x.shape[0]
+    if embed is not None:
+        LC = embed[1].shape[2]
+        cdt = embed[1].dtype  # compute dtype (x is the f32 carry here)
+    else:
+        LC = x.shape[2]
+        cdt = x.dtype
     C = LC // L
     NL = mods.shape[1] // (9 * C) if mods.ndim == 2 else mods.shape[1]
     (wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_t, bout_t,
@@ -488,7 +537,7 @@ def _trunk_call(x, mods, ws, mask, num_heads: int, T: int, L: int,
         mod_spec = pl.BlockSpec((1, 1, 9, C), lambda b, i: (b, i, 0, 0))
         grid = (B, NL)
         kernel_kw = dict(num_layers=1, stream_layers=NL)
-        scratch = [pltpu.VMEM((Tp_rows, C), x.dtype)]
+        scratch = [pltpu.VMEM((Tp_rows, C), cdt)]
     else:
         def wspec(shape):
             return rep((NL,) + shape)
@@ -500,6 +549,20 @@ def _trunk_call(x, mods, ws, mask, num_heads: int, T: int, L: int,
 
     # folded output head: extra inputs + latent-shaped first output
     assert final is None or stream, "final folding needs the streaming trunk"
+    assert embed is None or (stream and not save_residuals), \
+        "embed folding is the inference scan fast path (streaming trunk only)"
+    assert step_dt is None or (embed is not None and final is not None)
+    emb_inputs, emb_specs = (), ()
+    x_spec = bat((1, Tp, L * C))
+    if embed is not None:
+        wlat_p, cadd, enc = embed
+        P = wlat_p.shape[0]
+        x_spec = bat((1, Tp, L * P))
+        emb_inputs = (wlat_p, cadd)
+        emb_specs = (rep((P, C)), bat((1, Tp, L * C)))
+        if enc is not None:
+            emb_inputs += (enc.reshape(B, 1, L * C),)
+            emb_specs += (bat((1, 1, L * C)),)
     fin_inputs, fin_specs = (), ()
     if final is not None:
         modf, wfin, bfin = final
@@ -513,41 +576,45 @@ def _trunk_call(x, mods, ws, mask, num_heads: int, T: int, L: int,
         out_shape = jax.ShapeDtypeStruct((B, Tp, L * OP), jnp.float32)
     else:
         out_specs = bat((1, Tp, L * C))
-        out_shape = jax.ShapeDtypeStruct((B, Tp, L * C), x.dtype)
+        out_shape = jax.ShapeDtypeStruct((B, Tp, L * C), cdt)
     if save_residuals:
         if NL == 1:
             res_spec = pl.BlockSpec((1, Tp_rows, C), lambda b: (b, 0, 0))
-            res_shape = jax.ShapeDtypeStruct((B, Tp_rows, C), x.dtype)
+            res_shape = jax.ShapeDtypeStruct((B, Tp_rows, C), cdt)
             out_specs = [out_specs, res_spec, res_spec]
             out_shape = [out_shape, res_shape, res_shape]
         else:
             res_spec = pl.BlockSpec((1, 1, Tp_rows, C), lambda b, i: (b, i, 0, 0))
-            res_shape = jax.ShapeDtypeStruct((B, NL, Tp_rows, C), x.dtype)
+            res_shape = jax.ShapeDtypeStruct((B, NL, Tp_rows, C), cdt)
             if final is not None:
                 # the folded head's backward needs the final trunk output
                 # too: all NL layer outputs are saved
                 xin_spec = pl.BlockSpec((1, 1, Tp, L * C),
                                         lambda b, i: (b, i, 0, 0))
-                xin_shape = jax.ShapeDtypeStruct((B, NL, Tp, L * C), x.dtype)
+                xin_shape = jax.ShapeDtypeStruct((B, NL, Tp, L * C), cdt)
             else:
                 # block (b, min(i, NL-2)): the final program revisits the
                 # last block and stores nothing, so it flushes unchanged
                 xin_spec = pl.BlockSpec(
                     (1, 1, Tp, L * C),
                     lambda b, i: (b, jnp.minimum(i, NL - 2), 0, 0))
-                xin_shape = jax.ShapeDtypeStruct((B, NL - 1, Tp, L * C), x.dtype)
+                xin_shape = jax.ShapeDtypeStruct((B, NL - 1, Tp, L * C), cdt)
             out_specs = [out_specs, res_spec, res_spec, xin_spec]
             out_shape = [out_shape, res_shape, res_shape, xin_shape]
 
     out = pl.pallas_call(
         functools.partial(_kernel, num_heads=num_heads, head_dim=D, channels=C,
                           stages=stages, fold_final=final is not None,
+                          fold_embed=embed is not None,
+                          has_enc=embed is not None and embed[2] is not None,
+                          step_dt=step_dt,
                           **kernel_kw),
         grid=grid,
         in_specs=[
-            bat((1, Tp, L * C)),
+            x_spec,
             mod_spec,
             *fin_specs,
+            *emb_specs,
             wspec((C, 3 * C)),
             wspec((1, 3 * C)),
             wspec((C, C)),
@@ -583,12 +650,12 @@ def _trunk_call(x, mods, ws, mask, num_heads: int, T: int, L: int,
         # default 16M scoped cap; lift it (128M physical)
         **({"compiler_params": pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024)} if NL > 1 else {}),
-    )(x, mods.reshape(B, NL, 9, C), *fin_inputs,
+    )(x, mods.reshape(B, NL, 9, C), *fin_inputs, *emb_inputs,
       wqkv_l, bqkv_l.reshape(NL, 1, 3 * C), wout_l, bout_l.reshape(NL, 1, C),
       wqkv_t_p, bqkv_t_p, wout_t_p, bout_t.reshape(NL, 1, C),
       w1, b1.reshape(NL, 1, F), w2, b2.reshape(NL, 1, C),
-      bkl.reshape(NL, 1, C).astype(x.dtype), bvl.reshape(NL, 1, C).astype(x.dtype),
-      bkt_p.astype(x.dtype), bvt_p.astype(x.dtype),
+      bkl.reshape(NL, 1, C).astype(cdt), bvl.reshape(NL, 1, C).astype(cdt),
+      bkt_p.astype(cdt), bvt_p.astype(cdt),
       bias_l, bias_t, cosr, sinr, cost, sint, fh, fht, S, S.T)
     return out
 
@@ -986,9 +1053,24 @@ def _trunk_final_xla(h_padded, modf, wfin, bfin, T, L, C):
     return y.reshape(B, Tp, L * OP)
 
 
+def _embed_xla(xc, wlat_p, cadd, enc, L: int, C: int):
+    """XLA twin of the kernel's folded embed stage (bit-identical op order):
+    per-residue lane-block latent projection on the flat carry + the
+    precomputed constant add (+ encoder row)."""
+    P = wlat_p.shape[0]
+    xb = xc.astype(wlat_p.dtype)
+    h = cadd + jnp.concatenate(
+        [jax.lax.dot_general(xb[:, :, l * P:(l + 1) * P], wlat_p,
+                             (((2,), (0,)), ((), ())))
+         for l in range(L)], axis=-1)
+    if enc is not None:
+        h = h + enc.reshape(h.shape[0], 1, L * C)
+    return h
+
+
 def fused_trunk(x, mods, ws, mask, *, num_heads: int, tl: tuple,
                 force_xla: bool = False, force_pallas: bool = False,
-                final=None):
+                final=None, embed=None, step_dt=None):
     """The ENTIRE trunk (all LatentMDGenLayers) as one op. x (B, Tp, L*C)
     frame-padded trunk; mods (B, NL*9C) — every layer's AdaLN output; ``ws``
     a 16-tuple of NL-stacked weights in fused_layer's argument order
@@ -1008,7 +1090,8 @@ def fused_trunk(x, mods, ws, mask, *, num_heads: int, tl: tuple,
 
     T, L = tl
     NL = ws[0].shape[0]
-    C = x.shape[2] // L
+    C = (embed[1].shape[2] if embed is not None else x.shape[2]) // L
+    assert embed is None or final is not None, "embed folding needs the folded head"
     env = os.environ.get("MDGEN_FUSED_LAYER", "")
     force_xla = force_xla or env == "xla"
     force_pallas = force_pallas or env == "pallas"
@@ -1019,22 +1102,38 @@ def fused_trunk(x, mods, ws, mask, *, num_heads: int, tl: tuple,
         and os.environ.get("MDGEN_FUSED_TRUNK", "") != "layer"
     ))
 
-    def per_layer(x_, mods_, *rest):
+    has_enc = embed is not None and embed[2] is not None
+    emb_args = ()
+    if embed is not None:
+        emb_args = (embed[0], embed[1]) + ((embed[2],) if has_enc else ())
+
+    def split_rest(rest):
+        i = 0
+        fin_ = emb_ = None
         if final is not None:
-            modf_, wfin_, bfin_ = rest[:3]
-            ws_ = rest[3:-1]
-        else:
-            ws_ = rest[:-1]
-        mask_ = rest[-1]
-        ws_ = unpad_stage2_ws(tuple(ws_), num_heads)  # fused_layer takes raw
-        h = x_
+            fin_ = tuple(rest[i:i + 3])
+            i += 3
+        if embed is not None:
+            emb_ = (rest[i], rest[i + 1], rest[i + 2] if has_enc else None)
+            i += 3 if has_enc else 2
+        return fin_, emb_, tuple(rest[i:-1]), rest[-1]
+
+    def per_layer(x_, mods_, *rest):
+        fin_, emb_, ws_, mask_ = split_rest(rest)
+        ws_ = unpad_stage2_ws(ws_, num_heads)  # fused_layer takes raw
+        h = _embed_xla(x_, emb_[0], emb_[1], emb_[2], L, C) if emb_ is not None else x_
         for i in range(NL):
             h = fused_layer(h, mods_[:, i * 9 * C:(i + 1) * 9 * C],
                             *(w[i] for w in ws_), mask_,
                             num_heads=num_heads, tl=(T, L),
                             force_xla=force_xla, padded_io=True)
-        if final is not None:
-            return _trunk_final_xla(h, modf_, wfin_, bfin_, T, L, C)
+        if fin_ is not None:
+            out = _trunk_final_xla(h, *fin_, T, L, C)
+            if step_dt is not None:
+                # pad rows differ from the kernel fold (the XLA head zeroes
+                # them before the axpy) — no valid output reads them
+                out = x_ + step_dt * out
+            return out
         return h
 
     fin_args = tuple(final) if final is not None else ()
@@ -1043,24 +1142,28 @@ def fused_trunk(x, mods, ws, mask, *, num_heads: int, tl: tuple,
         interp = jax.default_backend() != "tpu"
 
         def local(x_, mods_, *rest):
-            if final is not None:
-                fin_ = tuple(rest[:3])
-                ws_, mask_ = tuple(rest[3:-1]), rest[-1]
-            else:
-                fin_ = None
-                ws_, mask_ = tuple(rest[:-1]), rest[-1]
+            fin_, emb_, ws_, mask_ = split_rest(rest)
+            if emb_ is not None:
+                # inference scan fast path: no VJP surface, call the kernel
+                # directly (training uses the plain trunk + XLA embed)
+                return _trunk_call(x_, mods_, ws_, mask_, num_heads, T, L,
+                                   interpret=interp, final=fin_, embed=emb_,
+                                   step_dt=step_dt)
             return _fused_trunk_pallas(x_, mods_, ws_, fin_, mask_,
                                        num_heads, T, L, interp)
 
         if jax.device_count() > 1 or get_kernel_mesh() is not None:
-            # modf is batched (B, 2C); wfin/bfin replicated
+            # modf is batched (B, 2C); wfin/bfin replicated; the embed fold's
+            # cadd/enc are batched, wlat replicated
             batched = (True, True) \
                 + ((True, False, False) if final is not None else ()) \
+                + ((False, True) + ((True,) if has_enc else ()) if embed is not None else ()) \
                 + (False,) * 16 + (True,)
-            out = shard_map_batch0(local, batched, x, mods, *fin_args, *ws, mask)
+            out = shard_map_batch0(local, batched, x, mods, *fin_args,
+                                   *emb_args, *ws, mask)
             if out is not None:
                 return out
             if not force_pallas:
-                return per_layer(x, mods, *fin_args, *ws, mask)
-        return local(x, mods, *fin_args, *ws, mask)
-    return per_layer(x, mods, *fin_args, *ws, mask)
+                return per_layer(x, mods, *fin_args, *emb_args, *ws, mask)
+        return local(x, mods, *fin_args, *emb_args, *ws, mask)
+    return per_layer(x, mods, *fin_args, *emb_args, *ws, mask)

@@ -125,16 +125,29 @@ def _grouped_attend(q_r, kbT_r, vb_r, bias, H, D, probes: str = ""):
             if "b" in probes:  # perf probe: bf16 softmax traffic
                 logits = logits.astype(qs.dtype)
             logits = logits + bias.astype(logits.dtype)
-            m = jnp.max(logits, axis=1, keepdims=True)
-            if "E" in probes:  # perf probe: exp cost (wrong values, same shapes)
-                p = (logits - m).astype(q_rg.dtype)
+            if "m" in probes:  # perf probe: max-tree cost (overflow-unsafe)
+                m = 0.0
             else:
-                # unnormalized bf16 p: exp writes bf16 directly and the
-                # softmax division is deferred past the PV dot, where the
-                # divided surface is W lanes instead of TK (r3 VMEM-traffic
-                # reduction; the denominator is summed from the bf16 p)
-                p = jnp.exp(logits - m).astype(q_rg.dtype)
-            inv = 1.0 / jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
+                m = jnp.max(logits, axis=1, keepdims=True)
+            if "E" in probes:  # perf probe: exp cost (wrong values, same shapes)
+                p32 = logits - m
+            else:
+                p32 = jnp.exp(logits - m)
+            # unnormalized bf16 p: the PV dot reads bf16 and the softmax
+            # division is deferred past it, where the divided surface is W
+            # lanes instead of TK (r3 VMEM-traffic reduction)
+            p = p32.astype(q_rg.dtype)
+            if "s" in probes:  # perf probe: denominator cost (unnormalized out)
+                inv = 1.0
+            elif "S" in probes:  # perf probe: r2 form — sum of the BF16 p
+                # (an extra bf16->f32 copy of the full surface; also tried:
+                # the denominator as an MXU ones-dot — 0.287/0.399 ms vs the
+                # 0.252 tree for (TK, W)/(TK, 1) ones, PERF.md r3 dead-ends)
+                inv = 1.0 / jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
+            else:
+                # denominator from the f32 exp output directly (it already
+                # exists pre-cast): no convert copy feeds the lane-sum tree
+                inv = 1.0 / jnp.sum(p32, axis=1, keepdims=True)
         if "P" in probes:
             outs.append(q_rg.astype(jnp.float32) + p[:R, :1].astype(jnp.float32) * 0.0)
             h0 += gh

@@ -38,17 +38,18 @@ def test_kernel_matches_xla():
 
 
 def test_gelu_fast_accuracy_pin():
-    """The algebraic-sigmoid erf fit (no exp/divide — 0.079 ms/layer of the
-    whole-layer kernel was the A&S erf chain, PERF.md r3) is pinned at
-    5e-6 max abs error vs exact erf-GELU, including the clamped tails, and
-    its hand-derived gradient matches JAX autodiff of the same form."""
+    """The degree-4 algebraic-sigmoid erf fit (no exp/divide — 0.079
+    ms/layer of the whole-layer kernel was the A&S erf chain, PERF.md r3) is
+    pinned at 1e-4 max abs error vs exact erf-GELU (~100x below bf16
+    activation resolution), including the clamped tails, and its
+    hand-derived gradient matches JAX autodiff of the same form."""
     a = jnp.asarray(np.concatenate([
         np.linspace(-50.0, 50.0, 20001),
         np.linspace(-6.5, 6.5, 50001),
     ]), jnp.float32)
     exact = a * 0.5 * (1.0 + jax.lax.erf(a / math.sqrt(2.0)))
     fast = _gelu_fast(a)
-    np.testing.assert_allclose(np.asarray(fast), np.asarray(exact), atol=5e-6)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(exact), atol=1e-4)
 
     # analytic grad == autodiff of the same algebraic form
     val, dval = _gelu_fast_with_grad(a)
@@ -58,7 +59,7 @@ def test_gelu_fast_accuracy_pin():
     # ... and tracks the exact erf-GELU derivative
     dexact = jax.vmap(jax.grad(
         lambda z: z * 0.5 * (1.0 + jax.lax.erf(z / math.sqrt(2.0)))))(a)
-    np.testing.assert_allclose(np.asarray(dval), np.asarray(dexact), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dval), np.asarray(dexact), atol=5e-4)
 
     # huge/non-finite-safe inputs: saturated branch, no NaN/inf from t**2
     big = jnp.asarray([-1e30, -1e6, 1e6, 1e30], jnp.float32)
