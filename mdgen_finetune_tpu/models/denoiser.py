@@ -34,6 +34,7 @@ from ..geometry.rigid import Rigid
 from ..ops.adaln_mlp import adaln_mlp
 from ..ops.fused_layer import fused_layer, fused_trunk
 from ..ops.ipa_encoder import fold_encoder_ws, ipa_encoder
+from ..ops.time_attention import LOG2E
 from ..transport.dirichlet import DirichletConditionalFlow, simplex_proj
 from ..transport.transport import t_to_alpha
 from .attention import MHAParams, MultiheadAttention
@@ -162,10 +163,17 @@ def _fold_fused_args(mha_l, mha_t, fc1, fc2, num_heads: int, dt):
     w2, b2 = fc2
     C = wol.shape[0]
     scale = (C // num_heads) ** -0.5
+    # time-attention q additionally carries log2(e): every consumer of the
+    # folded wqkv_t computes softmax via exp2 (ops/time_attention.LOG2E) —
+    # exp's own lowering is exp2(log2e * x), so folding the constant into
+    # the already-folded q scale deletes a full-logits-surface multiply from
+    # the kernels (measured -1.7% whole-layer time, PERF.md r3). Residue
+    # attention (wqkv_l) measured neutral and keeps plain exp.
+    scale_t = scale * LOG2E
     wqkv_l = jnp.concatenate([wql * scale, wkl, wvl], axis=1).astype(dt)
     bqkv_l = jnp.concatenate([bql * scale, bkl_, bvl_]).astype(dt)
-    wqkv_t = jnp.concatenate([wqt * scale, wkt, wvt], axis=1).astype(dt)
-    bqkv_t = jnp.concatenate([bqt * scale, bkt_, bvt_]).astype(dt)
+    wqkv_t = jnp.concatenate([wqt * scale_t, wkt, wvt], axis=1).astype(dt)
+    bqkv_t = jnp.concatenate([bqt * scale_t, bkt_, bvt_]).astype(dt)
     return (wqkv_l, bqkv_l, wol.astype(dt), bol.astype(dt),
             wqkv_t, bqkv_t, wot.astype(dt), bot.astype(dt),
             w1.astype(dt), b1.astype(dt), w2.astype(dt), b2.astype(dt),

@@ -42,16 +42,21 @@ def _gelu_fast(a):
     (PERF.md r3, the largest single non-matmul cost). |a| > 6 clamps to the
     saturated branch (erf(6/sqrt(2)) = 1 - 2e-9), which also keeps t finite
     for arbitrarily large inputs."""
-    z = jnp.clip(a, -6.0, 6.0)
+    # compares run in f32 (Mosaic rejects vector cmpf on bf16); everything
+    # else stays in the input dtype so a bf16 surface keeps half traffic
+    a32 = a.astype(jnp.float32)
+    z = jnp.clip(a32, -6.0, 6.0).astype(a.dtype)
     u = z * z
     p = _GELU_KS[-1]
     for k in _GELU_KS[-2::-1]:
         p = p * u + k
     t = z * p
-    f = t * jax.lax.rsqrt(1.0 + t * t)
+    # rsqrt must also be f32 (bf16 rsqrt aborts the Mosaic latency table)
+    t32 = t.astype(jnp.float32)
+    f = (t32 * jax.lax.rsqrt(1.0 + t32 * t32)).astype(a.dtype)
     # the negative saturated branch pins to exactly 0 (a * the ~3e-8 fit
     # residual at the clamp would otherwise grow with |a|)
-    return jnp.where(a < -6.0, 0.0, a * (0.5 + 0.5 * f))
+    return jnp.where(a32 < -6.0, 0.0, a * (0.5 + 0.5 * f))
 
 
 def _gelu_fast_with_grad(a):

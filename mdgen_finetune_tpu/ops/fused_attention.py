@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 _NEG_INF = -1e9
+_LN2 = 0.6931471805599453
 MAX_KV = 4096  # full-K/V-in-VMEM design limit (far above the 1001 max here)
 PALLAS_MIN_KV = 512  # below this the XLA batched-GEMM path is faster
 
@@ -40,7 +41,7 @@ PALLAS_MIN_KV = 512  # below this the XLA batched-GEMM path is faster
 # ---------------------------------------------------------------------------
 # forward kernel
 # ---------------------------------------------------------------------------
-def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref):
+def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, base2: bool = False):
     q = q_ref[0]  # (BQ, D)
     k = k_ref[0]  # (M, D)
     logits = jax.lax.dot_general(
@@ -48,14 +49,16 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref):
     )  # (BQ, M)
     logits = jnp.where(mask_ref[0] > 0, logits, _NEG_INF)  # (1, M) broadcasts
     m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
+    # base2: q pre-scaled by LOG2E (ops/time_attention module docstring)
+    p = jnp.exp2(logits - m) if base2 else jnp.exp(logits - m)
     p = p / jnp.sum(p, axis=-1, keepdims=True)
     o = jnp.dot(p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32)
     o_ref[0] = o.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
-def _fwd_tpu(q, k, v, key_valid, block_q: int = 512, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret", "base2"))
+def _fwd_tpu(q, k, v, key_valid, block_q: int = 512, interpret: bool = False,
+             base2: bool = False):
     R, N, D = q.shape
     M = k.shape[1]
     bq = min(block_q, N)
@@ -64,7 +67,7 @@ def _fwd_tpu(q, k, v, key_valid, block_q: int = 512, interpret: bool = False):
     if pad_n:
         q = jnp.pad(q, ((0, 0), (0, pad_n), (0, 0)))
     out = pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, base2=base2),
         grid=(R, n_q),
         in_specs=[
             pl.BlockSpec((1, bq, D), lambda r, i: (r, i, 0)),
@@ -82,7 +85,8 @@ def _fwd_tpu(q, k, v, key_valid, block_q: int = 512, interpret: bool = False):
 # ---------------------------------------------------------------------------
 # backward kernel: recompute P, emit dQ, accumulate dK/dV across q blocks
 # ---------------------------------------------------------------------------
-def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, o_ref, dq_ref, dk_ref, dv_ref):
+def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, o_ref, dq_ref, dk_ref, dv_ref,
+                *, base2: bool = False):
     i = pl.program_id(1)
 
     @pl.when(i == 0)
@@ -99,19 +103,23 @@ def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, o_ref, dq_ref, dk_ref, dv
     logits = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     logits = jnp.where(mask_ref[0] > 0, logits, _NEG_INF)
     m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)  # (BQ, M) f32
+    p = jnp.exp2(logits - m) if base2 else jnp.exp(logits - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)  # (BQ, M) f32 (same value
+    # either base: softmax2(log2e * x) == softmax(x))
 
     # dV += P^T dO
     dv_ref[0] += jax.lax.dot_general(
         p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    # dS = P * (dO V^T - rowsum(dO * O))
+    # dS = P * (dO V^T - rowsum(dO * O)); base2: d exp2(x)/dx = ln2 * exp2(x),
+    # so the softmax adjoint wrt the BASE-2 logits gains one LN2 factor
     dp = jax.lax.dot_general(
         do, v.astype(jnp.float32), (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     delta = jnp.sum(do * o, axis=-1, keepdims=True)
     ds = p * (dp - delta)  # (BQ, M)
+    if base2:
+        ds = _LN2 * ds
     # dQ = dS K
     dq_ref[0] = jnp.dot(ds, k.astype(jnp.float32), preferred_element_type=jnp.float32).astype(dq_ref.dtype)
     # dK += dS^T Q
@@ -120,8 +128,9 @@ def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, o_ref, dq_ref, dk_ref, dv
     )
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
-def _bwd_tpu(q, k, v, key_valid, o, do, block_q: int = 512, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret", "base2"))
+def _bwd_tpu(q, k, v, key_valid, o, do, block_q: int = 512, interpret: bool = False,
+             base2: bool = False):
     R, N, D = q.shape
     M = k.shape[1]
     bq = min(block_q, N)
@@ -132,7 +141,7 @@ def _bwd_tpu(q, k, v, key_valid, o, do, block_q: int = 512, interpret: bool = Fa
         q, o, do = jnp.pad(q, pad), jnp.pad(o, pad), jnp.pad(do, pad)
 
     dq, dk, dv = pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, base2=base2),
         grid=(R, n_q),
         in_specs=[
             pl.BlockSpec((1, bq, D), lambda r, i: (r, i, 0)),
@@ -162,35 +171,42 @@ def _bwd_tpu(q, k, v, key_valid, o, do, block_q: int = 512, interpret: bool = Fa
 # ---------------------------------------------------------------------------
 # custom-VJP wrapper
 # ---------------------------------------------------------------------------
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _attention_pallas(q, k, v, key_valid, interpret=False):
-    return _fwd_tpu(q, k, v, key_valid, interpret=interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _attention_pallas(q, k, v, key_valid, interpret=False, base2=False):
+    return _fwd_tpu(q, k, v, key_valid, interpret=interpret, base2=base2)
 
 
-def _attention_pallas_fwd(q, k, v, key_valid, interpret):
-    o = _fwd_tpu(q, k, v, key_valid, interpret=interpret)
+def _attention_pallas_fwd(q, k, v, key_valid, interpret, base2):
+    o = _fwd_tpu(q, k, v, key_valid, interpret=interpret, base2=base2)
     return o, (q, k, v, key_valid, o)
 
 
-def _attention_pallas_bwd(interpret, res, do):
+def _attention_pallas_bwd(interpret, base2, res, do):
     q, k, v, key_valid, o = res
-    dq, dk, dv = _bwd_tpu(q, k, v, key_valid, o, do, interpret=interpret)
+    dq, dk, dv = _bwd_tpu(q, k, v, key_valid, o, do, interpret=interpret, base2=base2)
     return dq, dk, dv, None
 
 
 _attention_pallas.defvjp(_attention_pallas_fwd, _attention_pallas_bwd)
 
 
-def _attention_xla(q, k, v, key_valid):
+def _attention_xla(q, k, v, key_valid, base2: bool = False):
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    if base2:
+        # q carries LOG2E: softmax the BASE-E-equivalent logits (same
+        # probabilities the exp2 kernels produce, autodiff-consistent)
+        logits = logits * _LN2
     logits = jnp.where(key_valid[:, None, None, :] > 0, logits, _NEG_INF)
     attn = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", attn, v)
 
 
-def fused_attention(q, k, v, key_valid=None, *, force_xla: bool = False, force_pallas: bool = False):
+def fused_attention(q, k, v, key_valid=None, *, force_xla: bool = False,
+                    force_pallas: bool = False, base2: bool = False):
     """Masked softmax attention: q (B, H, N, D) pre-scaled (and roped);
     k, v (B, H, M, D); key_valid (B, M) with 1 = attendable. Returns (B, H, N, D).
+    ``base2``: q additionally pre-scaled by LOG2E, softmax via exp2
+    (ops/time_attention module docstring).
     """
     from ..parallel.kernel_sharding import get_kernel_mesh, shard_map_batch0
 
@@ -203,7 +219,7 @@ def fused_attention(q, k, v, key_valid=None, *, force_xla: bool = False, force_p
     if key_valid is None:
         key_valid = jnp.ones((B, M), jnp.float32)
     if not want_pallas:
-        return _attention_xla(q, k, v, key_valid)
+        return _attention_xla(q, k, v, key_valid, base2=base2)
 
     interp = not on_tpu
 
@@ -213,7 +229,7 @@ def fused_attention(q, k, v, key_valid=None, *, force_xla: bool = False, force_p
         kr = k.reshape(b * h, M, D)
         vr = v.reshape(b * h, M, D)
         maskr = jnp.repeat(key_valid.astype(jnp.float32), h, axis=0)
-        return _attention_pallas(qr, kr, vr, maskr, interp).reshape(b, h, N, D)
+        return _attention_pallas(qr, kr, vr, maskr, interp, base2).reshape(b, h, N, D)
 
     if jax.device_count() > 1 or get_kernel_mesh() is not None:
         # multi-device: each device runs the kernel on its local batch shard
@@ -221,5 +237,5 @@ def fused_attention(q, k, v, key_valid=None, *, force_xla: bool = False, force_p
         if out is not None:
             return out
         if not force_pallas:
-            return _attention_xla(q, k, v, key_valid)
+            return _attention_xla(q, k, v, key_valid, base2=base2)
     return local(q, k, v, key_valid)

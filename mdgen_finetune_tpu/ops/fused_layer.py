@@ -240,8 +240,15 @@ def _kernel(x_ref, mod_ref, *refs, num_heads: int, head_dim: int, channels: int,
             m = ls[0]
             for l in ls[1:]:
                 m = jnp.maximum(m, l)
-            # "X" perf probe: stage-1 exp cost
-            ps = [(l - m) if "X" in stages else jnp.exp(l - m) for l in ls]
+            # "X" perf probe: stage-1 exp cost; "u": exp2 (the mul-by-log2e
+            # inside exp's lowering folded away — values wrong by the base
+            # change, softmax shape identical)
+            if "X" in stages:
+                ps = [(l - m) for l in ls]
+            elif "u" in stages:
+                ps = [jnp.exp2(l - m) for l in ls]
+            else:
+                ps = [jnp.exp(l - m) for l in ls]
             denom = ps[0]
             for p in ps[1:]:
                 denom = denom + p
@@ -306,7 +313,8 @@ def _kernel(x_ref, mod_ref, *refs, num_heads: int, head_dim: int, channels: int,
             for r in range(L):
                 att = _grouped_attend(
                     q_all[r * Tp:(r + 1) * Tp], kbTs[r], vbs[r],
-                    bias_t_ref[0, r:r + 1, :], H, Dp, probes=stages)
+                    bias_t_ref[0, r:r + 1, :], H, Dp, probes=stages,
+                    base2=True)  # wqkv_t carries scale * LOG2E (fold contract)
                 atts.append(att.astype(dt))
             att2 = jnp.concatenate(atts, axis=0)  # (R, Cp)
         else:
@@ -317,17 +325,28 @@ def _kernel(x_ref, mod_ref, *refs, num_heads: int, head_dim: int, channels: int,
 
       # ---- stage 3: MLP ----
       if "3" in stages:
-        a = matmul(modln(X2, 6), w1, b1)  # (R, 4C) f32
-        # gelu stays f32 via the algebraic-sigmoid fit (adaln_mlp._gelu_fast):
-        # the A&S erf chain (exp + divide + sign/select) measured 0.079
-        # ms/layer — the largest single non-matmul cost in the kernel. A bf16
-        # erf chain fails to lower (Mosaic rejects bf16 cmpf) and a
-        # split-halves software pipeline measured neutral (PERF.md r3).
-        if "g" in stages:  # perf probe: erf-GELU cost (wrong values)
-            a = a * 0.25
-        else:
+        if "f" in stages:  # perf probe: bf16 GELU surface — fc1 emits bf16
+            # (convert fused into the dot's store), the whole poly chain
+            # runs on the half-traffic surface (values differ only by bf16
+            # rounding of the hidden activation)
+            a = jax.lax.dot_general(
+                modln(X2, 6), w1, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dt) + b1
             a = _gelu_fast(a)
-        y = matmul(a.astype(dt), w2, b2)
+            y = matmul(a, w2, b2)
+        else:
+            a = matmul(modln(X2, 6), w1, b1)  # (R, 4C) f32
+            # gelu stays f32 via the algebraic-sigmoid fit (_gelu_fast): the
+            # A&S erf chain (exp + divide + sign/select) measured 0.079
+            # ms/layer — the largest single non-matmul cost in the kernel. A
+            # bf16 erf chain fails to lower (Mosaic rejects bf16 cmpf) and a
+            # split-halves software pipeline measured neutral (PERF.md r3).
+            if "g" in stages:  # perf probe: erf-GELU cost (wrong values)
+                a = a * 0.25
+            else:
+                a = _gelu_fast(a)
+            y = matmul(a.astype(dt), w2, b2)
         OUT = X2.astype(jnp.float32) + gatev(8) * y
       else:
         OUT = X2.astype(jnp.float32)

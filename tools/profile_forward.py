@@ -24,6 +24,16 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+class FwdHandle:
+    """Callable jitted forward + the model/config it was built from."""
+
+    def __init__(self, fn, model, aux):
+        self.fn, self.model_and_aux = fn, (model, aux)
+
+    def __call__(self, *a, **k):
+        return self.fn(*a, **k)
+
+
 def build_forward(B, T, L, bf16=True):
     import jax
     import jax.numpy as jnp
@@ -58,6 +68,7 @@ def build_forward(B, T, L, bf16=True):
             x_cond=x_cond, x_cond_mask=x_cond_mask, aatype=aatype,
         )
 
+    fwd = FwdHandle(fwd, model, (mask, frames, aatype, x_cond, x_cond_mask, cfg))
     return fwd, params, x
 
 
@@ -220,19 +231,32 @@ def main():
                 state, m = step(state, keys[i + 1])
             jax.block_until_ready(m)
     elif args.scan:
+        # mirrors bench.py's euler_chain: the flat-latent fast path with the
+        # embed + euler update folded into the trunk kernel
         fwd, params, x = build_forward(args.B, args.T, args.L)
+        model, aux = fwd.model_and_aux  # set by build_forward below
+        mask, frames, aatype, x_cond, x_cond_mask, cfg = aux
+        from mdgen_finetune_tpu.models.denoiser import flat_to_latent, latent_to_flat
         n = args.scan
+        B, T, L = args.B, args.T, args.L
+        P = -(-cfg.latent_dim // 128) * 128
 
         @jax.jit
         def euler_chain(params, x0):
             dt = 1.0 / n
+            pack = model.apply(params, method=model.make_trunk_pack)
+            consts = model.apply(params, x_cond, x_cond_mask, mask,
+                                 method=model.make_scan_consts)
+            ts = jnp.linspace(0.05, 0.95, n)[:, None] * jnp.ones((1, B), jnp.float32)
 
             def step(xc, tk):
-                v = fwd(params, xc)
-                return xc + dt * v.astype(xc.dtype), ()
+                return model.apply(
+                    params, xc, tk, mask, start_frames=frames, end_frames=frames,
+                    aatype=aatype, trunk_pack=pack, scan_consts=consts, ode_dt=dt,
+                ), ()
 
-            xT, _ = jax.lax.scan(step, x0, jnp.linspace(0.05, 0.95, n))
-            return xT
+            xT, _ = jax.lax.scan(step, latent_to_flat(x0, P), ts)
+            return flat_to_latent(xT, T, L, cfg.latent_dim)
 
         euler_chain(params, x).block_until_ready()
         xs = [jnp.asarray(rng.normal(size=x.shape), jnp.float32) for _ in range(args.steps)]
