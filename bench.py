@@ -83,8 +83,10 @@ def main():
     # distinct inputs per call: the remote-execution relay caches results for
     # repeated (executable, args) pairs, which would inflate the number.
     # Pipelined calls amortize the single end sync (~25 ms tunnel RTT,
-    # PERF.md "relay measurement gotchas") to < 2% of the timed region.
-    n_calls = 4
+    # PERF.md "relay measurement gotchas") to < 1% of the timed region
+    # (measured: 4 -> 8 -> 12 chains = 9,646 / 9,792 / 9,835 steps/s —
+    # converging to the device-limit 1/span; 12 keeps the sync share < 0.7%).
+    n_calls = 12
     xs = [jnp.asarray(rng.normal(size=x.shape), jnp.float32) for _ in range(n_calls)]
     jax.block_until_ready(xs)  # uploads land before the timed region
     start = time.perf_counter()

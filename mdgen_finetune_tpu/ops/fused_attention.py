@@ -48,10 +48,16 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, base2: bool = False):
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (BQ, M)
     logits = jnp.where(mask_ref[0] > 0, logits, _NEG_INF)  # (1, M) broadcasts
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    # base2: q pre-scaled by LOG2E (ops/time_attention module docstring)
-    p = jnp.exp2(logits - m) if base2 else jnp.exp(logits - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    if base2:
+        # q pre-scaled by LOG2E; no max tree — static overflow cap instead
+        # (exp2(100) = 1.3e30, sum <= MAX_KV * 2^100 << f32 max; epsilon
+        # guards an all-underflow row — see ops/time_attention._grouped_attend)
+        p = jnp.exp2(jnp.minimum(logits, 100.0))
+        p = p / (jnp.sum(p, axis=-1, keepdims=True) + 1e-30)
+    else:
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
     o = jnp.dot(p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32)
     o_ref[0] = o.astype(o_ref.dtype)
 

@@ -137,15 +137,21 @@ def _grouped_attend(q_r, kbT_r, vb_r, bias, H, D, probes: str = "",
             if "b" in probes:  # perf probe: bf16 softmax traffic
                 logits = logits.astype(qs.dtype)
             logits = logits + bias.astype(logits.dtype)
-            if "m" in probes:  # perf probe: max-tree cost (overflow-unsafe)
-                m = 0.0
+            if "E" in probes:  # perf probe: exp cost (wrong values, same shapes)
+                p32 = logits - jnp.max(logits, axis=1, keepdims=True)
+            elif base2:
+                # q arrived pre-scaled by LOG2E (module docstring). NO max
+                # tree (0.011 ms/layer): softmax is shift-invariant, and in
+                # base 2 a static overflow cap replaces the shift — the min
+                # runs at subtract cost on the same surface. Bounds:
+                # exp2(100) = 1.3e30, sum <= 4096 keys * 2^100 = 5e33 << f32
+                # max; bf16 p max 2^100 << bf16 max. An all-underflow row
+                # (every valid logit < -126, incl. the always-attendable
+                # learned bias token — a diverged model) yields 0-weights
+                # via the epsilon guard instead of 0/0 NaN.
+                p32 = jnp.exp2(jnp.minimum(logits, 100.0))
             else:
                 m = jnp.max(logits, axis=1, keepdims=True)
-            if "E" in probes:  # perf probe: exp cost (wrong values, same shapes)
-                p32 = logits - m
-            elif base2:  # q arrived pre-scaled by LOG2E (see module docstring)
-                p32 = jnp.exp2(logits - m)
-            else:
                 p32 = jnp.exp(logits - m)
             # unnormalized bf16 p: the PV dot reads bf16 and the softmax
             # division is deferred past it, where the divided surface is W
@@ -161,7 +167,10 @@ def _grouped_attend(q_r, kbT_r, vb_r, bias, H, D, probes: str = "",
             else:
                 # denominator from the f32 exp output directly (it already
                 # exists pre-cast): no convert copy feeds the lane-sum tree
-                inv = 1.0 / jnp.sum(p32, axis=1, keepdims=True)
+                denom = jnp.sum(p32, axis=1, keepdims=True)
+                if base2:
+                    denom = denom + 1e-30  # see the no-max note above
+                inv = 1.0 / denom
         if "P" in probes:
             outs.append(q_rg.astype(jnp.float32) + p[:R, :1].astype(jnp.float32) * 0.0)
             h0 += gh
