@@ -141,6 +141,42 @@ class InferenceEngine:
         # does not hoist out of the scan by itself)
         pack = self.model.apply(params, method=self.model.make_trunk_pack)
 
+        use_flat = (
+            self.sampler == "ode"
+            and cfg.transport.sampling_method == "euler"
+            and self.transport.prediction == "velocity"
+            and LatentMDGen.flat_scan_ok(cfg)
+            and pack is not None
+        )
+        if use_flat:
+            # flat-latent euler fast path: the carry stays in the padded
+            # trunk layout and each step is ONE trunk pallas_call (embed +
+            # euler update folded, per-step-constant embed terms and mask
+            # biases hoisted out of the scan — models/denoiser._flat_call);
+            # bitwise the same valid-lane samples as the generic ode_euler
+            # chain below (tests/test_flat_scan.py)
+            from ..models.denoiser import flat_to_latent, latent_to_flat
+
+            consts = self.model.apply(params, kw["x_cond"], kw["x_cond_mask"],
+                                      kw["mask"], method=self.model.make_scan_consts)
+            t0, t1 = self.transport.check_interval(eval=True)
+            n = cfg.transport.inference_steps
+            dt = (t1 - t0) / n
+            ts = t0 + dt * jnp.arange(n, dtype=zs.dtype)
+            P = -(-cfg.latent_dim // 128) * 128
+
+            def step(xc, tk):
+                tv = jnp.full((B,), tk, zs.dtype)
+                return self.model.apply(
+                    params, xc, tv, kw["mask"],
+                    start_frames=kw.get("start_frames"), end_frames=kw.get("end_frames"),
+                    aatype=kw.get("aatype"), trunk_pack=pack, scan_consts=consts,
+                    ode_dt=dt), None
+
+            xT, _ = jax.lax.scan(step, latent_to_flat(zs, P), ts)
+            samples = flat_to_latent(xT, T, L, cfg.latent_dim)
+            return self._decode(samples, prep.get("rigids"), batch["seqres"])
+
         def model_fn(x, t, **extra):
             return self.model.apply(params, x, t, method=self.model.forward_inference,
                                     trunk_pack=pack, **kw)

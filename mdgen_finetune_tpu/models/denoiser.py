@@ -163,15 +163,16 @@ def _fold_fused_args(mha_l, mha_t, fc1, fc2, num_heads: int, dt):
     w2, b2 = fc2
     C = wol.shape[0]
     scale = (C // num_heads) ** -0.5
-    # time-attention q additionally carries log2(e): every consumer of the
-    # folded wqkv_t computes softmax via exp2 (ops/time_attention.LOG2E) —
-    # exp's own lowering is exp2(log2e * x), so folding the constant into
-    # the already-folded q scale deletes a full-logits-surface multiply from
-    # the kernels (measured -1.7% whole-layer time, PERF.md r3). Residue
-    # attention (wqkv_l) measured neutral and keeps plain exp.
+    # BOTH attention q's additionally carry log2(e): every consumer of the
+    # folded wqkv_t / wqkv_l computes softmax via exp2 (ops/time_attention.
+    # LOG2E) — exp's own lowering is exp2(log2e * x), so folding the constant
+    # into the already-folded q scale deletes a full-logits-surface multiply
+    # from the kernels (measured -1.7% whole-layer time for stage 2, PERF.md
+    # r3). For stage 1 the fold is what lets the merged residue-attention
+    # core drop its max tree (static exp2 overflow cap, ops/fused_layer.py).
     scale_t = scale * LOG2E
-    wqkv_l = jnp.concatenate([wql * scale, wkl, wvl], axis=1).astype(dt)
-    bqkv_l = jnp.concatenate([bql * scale, bkl_, bvl_]).astype(dt)
+    wqkv_l = jnp.concatenate([wql * scale_t, wkl, wvl], axis=1).astype(dt)
+    bqkv_l = jnp.concatenate([bql * scale_t, bkl_, bvl_]).astype(dt)
     wqkv_t = jnp.concatenate([wqt * scale_t, wkt, wvt], axis=1).astype(dt)
     bqkv_t = jnp.concatenate([bqt * scale_t, bkt_, bvt_]).astype(dt)
     return (wqkv_l, bqkv_l, wol.astype(dt), bol.astype(dt),
@@ -514,6 +515,16 @@ class LatentMDGen(nn.Module):
         return not (m.interleave_ipa or m.hyena or m.no_rope or m.grad_checkpointing
                     or task.design or task.mpnn or task.dynamic_mpnn)
 
+    def embed_times(self, t):
+        """t (N,) or (N, B) -> timestep embeddings (N, C) / (N, B, C). The
+        ODE-step t grid is known before the scan, so samplers precompute the
+        whole sinusoidal + MLP chain in ONE batched call and feed rows per
+        step via ``t_emb=`` (scan xs), deleting the per-step t-embedder ops."""
+        mult = self.cfg.model.time_multiplier
+        flat = t.reshape(-1)
+        emb = self.t_embedder(flat * mult).astype(self.dtype)
+        return emb.reshape(*t.shape, emb.shape[-1])
+
     def make_scan_consts(self, x_cond, x_cond_mask, mask):
         """Per-ODE-step-constant embed terms for the flat-latent sampling
         fast path, computed ONCE per sample call. Everything here depends
@@ -522,7 +533,7 @@ class LatentMDGen(nn.Module):
         (src/mdgen/model/latent_model.py:216-247); under a 100-step ODE scan
         it is loop-invariant, and XLA does not hoist it out of the scan.
 
-        Returns ``(wlat_p, const_add)``:
+        Returns ``(wlat_p, const_add, biases)``:
           - ``wlat_p`` (P, C): the latent_to_emb kernel, rows zero-padded to
             P = the folded output head's 128-rounded lane-block width, so
             ``x_flat[:, :, l*P:(l+1)*P] @ wlat_p`` consumes the carry's pad
@@ -530,7 +541,9 @@ class LatentMDGen(nn.Module):
             head's padded wfin columns emit zeros there);
           - ``const_add`` (B, Tp, L*C): latent_to_emb bias + abs pos/time
             tables + cond/mask embeddings, summed in the padded trunk
-            layout (pad rows zero)."""
+            layout (pad rows zero);
+          - ``biases``: the trunk kernel's additive mask biases
+            (ops/fused_layer.make_trunk_biases), equally loop-invariant."""
         cfg = self.cfg
         B, T, L = mask.shape
         C = cfg.model.embed_dim
@@ -556,7 +569,8 @@ class LatentMDGen(nn.Module):
         add = add.reshape(B, T, L * C)
         if Tp != T:
             add = jnp.pad(add, ((0, 0), (0, Tp - T), (0, 0)))
-        return wlat_p, add.astype(self.dtype)
+        from ..ops.fused_layer import make_trunk_biases
+        return wlat_p, add.astype(self.dtype), make_trunk_biases(mask, T, L, C)
 
     def __call__(
         self,
@@ -571,6 +585,7 @@ class LatentMDGen(nn.Module):
         trunk_pack=None,
         scan_consts=None,
         ode_dt=None,
+        t_emb=None,
     ):
         cfg = self.cfg
         task = cfg.task
@@ -584,7 +599,7 @@ class LatentMDGen(nn.Module):
             # PERF.md r3)
             return self._flat_call(x, t, mask, scan_consts, trunk_pack,
                                    start_frames, end_frames, aatype,
-                                   ode_dt=ode_dt)
+                                   ode_dt=ode_dt, t_emb=t_emb)
         if task.dynamic_mpnn:
             sel = jnp.array([0, x.shape[1] - 1])
             x, x_cond, x_cond_mask, mask = x[:, sel], x_cond[:, sel], x_cond_mask[:, sel], mask[:, sel]
@@ -697,7 +712,7 @@ class LatentMDGen(nn.Module):
     # The per-step t-embedder + fused encoder below cost < 3% of a step.
 
     def _flat_call(self, x, t, mask, scan_consts, trunk_pack,
-                   start_frames, end_frames, aatype, ode_dt=None):
+                   start_frames, end_frames, aatype, ode_dt=None, t_emb=None):
         """Fast-path body: trunk-layout x in, trunk-layout velocity out —
         or, with ``ode_dt``, the euler-updated carry ``x + dt * v`` directly
         (the embed stage AND the update are folded into the trunk kernel, so
@@ -707,13 +722,15 @@ class LatentMDGen(nn.Module):
         valid output reads (attention masks them as keys), and pad lanes
         stay exactly zero (zero wlat_p rows in, zero wfin columns out)."""
         cfg = self.cfg
-        wlat_p, const_add = scan_consts
+        wlat_p, const_add, biases = (scan_consts if len(scan_consts) == 3
+                                     else (*scan_consts, None))
         B, T, L = mask.shape
         C = cfg.model.embed_dim
         pack = trunk_pack if trunk_pack is not None else self.make_trunk_pack()
         wmods, bmods, ws, fin, _enc = pack
         NL = len(self.layers)
-        t_emb = self.t_embedder(t * cfg.model.time_multiplier).astype(self.dtype)
+        if t_emb is None:
+            t_emb = self.t_embedder(t * cfg.model.time_multiplier).astype(self.dtype)
         enc = None
         if cfg.model.prepend_ipa:
             enc = self.run_ipa(t_emb, mask[:, 0], start_frames, end_frames,
@@ -725,7 +742,7 @@ class LatentMDGen(nn.Module):
         return fused_trunk(x, mods, ws, mask, num_heads=cfg.model.mha_heads,
                            tl=(T, L), final=(modf, *fin),
                            embed=(wlat_p, const_add, enc),
-                           step_dt=ode_dt)  # (B, Tp, L*P) f32
+                           step_dt=ode_dt, biases=biases)  # (B, Tp, L*P) f32
 
     # ------------------------------------------------------------------
     def forward_inference(self, x, t, mask, **kwargs):

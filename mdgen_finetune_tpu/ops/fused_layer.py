@@ -38,7 +38,7 @@ _LN_EPS = 1e-6
 def _kernel(x_ref, mod_ref, *refs, num_heads: int, head_dim: int, channels: int,
             stages: str = "123", num_layers: int = 1, stream_layers: int = 0,
             fold_final: bool = False, fold_embed: bool = False,
-            has_enc: bool = False, step_dt=None):
+            has_enc: bool = False, step_dt=None, s1_merged: bool = False):
     """Row-stacked layout: the (Tp, L*C) input is restacked ONCE to
     (L*Tp, C) so every projection / out-proj / MLP matmul runs as a single
     MXU op with M = L*Tp rows — the r2 per-residue loop ran each matmul at
@@ -203,14 +203,17 @@ def _kernel(x_ref, mod_ref, *refs, num_heads: int, head_dim: int, channels: int,
         return mod_ref[0, _li, j:j + 1, :].astype(jnp.float32)  # (1, C)
 
     # ---- stage 1: residue attention over L, rows as batch ----
-    # Merged-over-i ("per-j") form. The r3 micro-op cost model
-    # (tools/micro_ops.py) showed the kernel is bound by DEPENDENT VPU-op
-    # chain latency at small shapes, while row-dim concats/tiles are ~free
-    # and (R, C)-sized elementwise ops run at VPU peak. So instead of L
-    # separate softmax/accumulate chains over (Tp, ...) tiles, each key j
-    # produces ONE (R, H) logit sheet (k_j row-tiled across the stacked
-    # query rows — free), giving a single max/exp/sum/divide chain and a
-    # single J-step accumulate chain at full R = L*Tp row parallelism.
+    # Merged-over-EVERYTHING form (r3). The micro-op cost model
+    # (tools/micro_ops.py) showed the kernel is bound by DEPENDENT chain
+    # latency over many small MXU/VPU ops, while row-dim concats/tiles are
+    # ~free. So the J per-key logit dots and J PV dots collapse into TWO
+    # stacked matmuls over (J*R, ·) rows, and the softmax runs as ONE
+    # exp2 over the stacked sheet — no max tree at all: wqkv_l's q columns
+    # carry scale * LOG2E (denoiser._fold_fused_args contract), softmax is
+    # shift-invariant, and exp2's overflow is capped statically
+    # (exp2(min(l, 100)); sum <= J * 2^100 << f32 max) with an
+    # epsilon-guarded denominator. Falls back to the per-j loop when the
+    # stacked sheets would stress VMEM (large Tp * L).
       if "1" in stages:
         qkv = matmul(modln(X, 0), wqkv_l, bqkv_l).astype(dt)  # (R, 3C)
         if "a" not in stages:  # "a" ablates the attention core (perf probe)
@@ -226,42 +229,67 @@ def _kernel(x_ref, mod_ref, *refs, num_heads: int, head_dim: int, channels: int,
             q_all = jnp.concatenate(qs, axis=0)  # (R, C), i-major rows
 
             Sd = S.astype(dt)
-            bias_l = bias_l_ref[0]  # (Tp, J)
-            ls = []
-            for j in range(J):
-                k_t = jnp.concatenate([ks[j]] * L, axis=0)  # row-tile, ~free
+            if s1_merged:
+                # block j of the stacked sheets = key j row-tiled across the
+                # stacked query rows (concats are copies at VMEM speed); the
+                # (J*R, 1) stacked bias arrives precomputed from the host
+                # (in-kernel lane-column concat is a Mosaic layout mismatch)
+                k_stack = jnp.concatenate(
+                    [jnp.concatenate([ks[j]] * L, axis=0) for j in range(J)], axis=0)
+                q_tile = jnp.concatenate([q_all] * J, axis=0)  # (J*R, C)
                 # "M" perf probe: elementwise pair-product cost
-                e = q_all if "M" in stages else q_all * k_t
-                l = jax.lax.dot_general(
-                    e, Sd, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-                )  # (R, H)
-                bias_j = jnp.concatenate([bias_l[:, j:j + 1]] * L, axis=0)  # (R, 1)
-                ls.append(l + bias_j)
-            m = ls[0]
-            for l in ls[1:]:
-                m = jnp.maximum(m, l)
-            # "X" perf probe: stage-1 exp cost; "u": exp2 (the mul-by-log2e
-            # inside exp's lowering folded away — values wrong by the base
-            # change, softmax shape identical)
-            if "X" in stages:
-                ps = [(l - m) for l in ls]
-            elif "u" in stages:
-                ps = [jnp.exp2(l - m) for l in ls]
+                e_all = q_tile if "M" in stages else q_tile * k_stack
+                l_all = jax.lax.dot_general(
+                    e_all, Sd, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (J*R, H)
+                l_all = l_all + bias_l_ref[0]  # (J*R, 1) stacked bias
+                # "X" perf probe: stage-1 exp cost (wrong values)
+                p_all = l_all if "X" in stages else jnp.exp2(jnp.minimum(l_all, 100.0))
+                denom = p_all[0:R]
+                for j in range(1, J):
+                    denom = denom + p_all[j * R:(j + 1) * R]
+                inv = 1.0 / (denom + 1e-30)  # (R, H)
+                p_scaled = p_all * jnp.concatenate([inv] * J, axis=0)
+                pv = jax.lax.dot_general(
+                    p_scaled, St, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (J*R, C)
+                v_stack = jnp.concatenate(
+                    [jnp.concatenate([vs[j]] * L, axis=0) for j in range(J)],
+                    axis=0).astype(jnp.float32)
+                # "K" perf probe: stage-1 PV product cost
+                prod = pv if "K" in stages else pv * v_stack
+                acc = prod[0:R]
+                for j in range(1, J):
+                    acc = acc + prod[j * R:(j + 1) * R]
+                att1 = acc.astype(dt)  # (R, C)
             else:
-                ps = [jnp.exp(l - m) for l in ls]
-            denom = ps[0]
-            for p in ps[1:]:
-                denom = denom + p
-            inv = 1.0 / denom
-            acc = jnp.zeros((R, C), jnp.float32)
-            for j in range(J):
-                p_exp = jax.lax.dot_general(
-                    ps[j] * inv, St, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-                )  # (R, C)
-                v_t = jnp.concatenate([vs[j]] * L, axis=0).astype(jnp.float32)
-                # "K" perf probe: stage-1 PV fma-accumulate cost
-                acc = p_exp if "K" in stages else acc + p_exp * v_t
-            att1 = acc.astype(dt)  # (R, C)
+                bias_l = bias_l_ref[0]  # (Tp, J)
+                ls = []
+                for j in range(J):
+                    k_t = jnp.concatenate([ks[j]] * L, axis=0)  # row-tile, ~free
+                    e = q_all if "M" in stages else q_all * k_t
+                    l = jax.lax.dot_general(
+                        e, Sd, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                    )  # (R, H)
+                    bias_j = jnp.concatenate([bias_l[:, j:j + 1]] * L, axis=0)  # (R, 1)
+                    ls.append(l + bias_j)
+                if "X" in stages:
+                    ps = ls
+                else:
+                    ps = [jnp.exp2(jnp.minimum(l, 100.0)) for l in ls]
+                denom = ps[0]
+                for p in ps[1:]:
+                    denom = denom + p
+                inv = 1.0 / (denom + 1e-30)
+                acc = jnp.zeros((R, C), jnp.float32)
+                for j in range(J):
+                    p_exp = jax.lax.dot_general(
+                        ps[j] * inv, St, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                    )  # (R, C)
+                    v_t = jnp.concatenate([vs[j]] * L, axis=0).astype(jnp.float32)
+                    # "K" perf probe: stage-1 PV fma-accumulate cost
+                    acc = p_exp if "K" in stages else acc + p_exp * v_t
+                att1 = acc.astype(dt)  # (R, C)
         else:
             att1 = qkv[:, 2 * C:]
         X1 = (X.astype(jnp.float32) + gatev(2) * matmul(att1, wout_l, bout_l)).astype(dt)
@@ -430,10 +458,51 @@ def _kernel(x_ref, mod_ref, *refs, num_heads: int, head_dim: int, channels: int,
             o_ref[0, :, r * C:(r + 1) * C] = blk(X, r).astype(o_ref.dtype)
 
 
+def _s1_layout(T: int, L: int, C: int, stages: str = "123"):
+    """(Tp, TKt, s1_merged) — the kernel's padded frame rows, stage-2 key-axis
+    width, and whether stage 1 runs the merged-stacked form ("9" probe)."""
+    Tp = -(-T // 8) * 8
+    tk128 = -(-(Tp + 8) // 128) * 128
+    TKt = tk128 if tk128 - (Tp + 8) <= 24 else Tp + 8
+    J = L + 1
+    s1_merged = "9" in stages and J * L * Tp * C * 4 <= 8 * 1024 * 1024
+    return Tp, TKt, s1_merged
+
+
+def make_trunk_biases(mask, T: int, L: int, C: int, stages: str = "123"):
+    """The kernel's additive mask biases (bias_l, bias_t) — pure functions of
+    the (loop-invariant) mask. Samplers precompute them once per sample call
+    (denoiser.make_scan_consts) so the ODE-step scan does not rebuild them
+    every step; _trunk_call computes them itself when not supplied."""
+    B = mask.shape[0]
+    Tp, TKt, s1_merged = _s1_layout(T, L, C, stages)
+    J = L + 1
+    # residue-attention additive bias (B, Tp, J): mask (B, T, L) keys + the
+    # always-attendable bias token
+    bias_l = (mask.astype(jnp.float32) - 1.0) * -_NEG_INF  # (B, T, L)
+    bias_l = jnp.concatenate([bias_l, jnp.zeros((B, T, 1), jnp.float32)], axis=2)
+    if Tp != T:
+        bias_l = jnp.pad(bias_l, ((0, 0), (0, Tp - T), (0, 0)))
+    if s1_merged:
+        # merged stage-1 ("9" probe, see _kernel): stacked row order
+        # (j-major, then residue, then frame)
+        R_rows = L * Tp
+        bias_l = jnp.broadcast_to(
+            bias_l.transpose(0, 2, 1)[:, :, None, :], (B, J, L, Tp)
+        ).reshape(B, J * R_rows, 1)
+    # frame-attention additive bias (B, L, TKt)
+    kv_t = mask.transpose(0, 2, 1)  # (B, L, T)
+    bias_t = (kv_t.astype(jnp.float32) - 1.0) * -_NEG_INF
+    tail = jnp.full((B, L, TKt - T), _NEG_INF, jnp.float32)
+    tail = tail.at[:, :, Tp - T].set(0.0)
+    bias_t = jnp.concatenate([bias_t, tail], axis=2)
+    return bias_l, bias_t
+
+
 def _trunk_call(x, mods, ws, mask, num_heads: int, T: int, L: int,
                 interpret: bool = False, stages: str = "123",
                 save_residuals: bool = False, final=None, embed=None,
-                step_dt=None):
+                step_dt=None, biases=None):
     """One pallas_call over ``NL`` layers. ``x`` (B, Tp, L*C) frame-padded;
     ``mods`` (B, NL, 9C); ``ws`` = 16-tuple of NL-stacked weights in their
     original (unpadded-head) shapes. Returns the padded-trunk output, plus
@@ -457,30 +526,21 @@ def _trunk_call(x, mods, ws, mask, num_heads: int, T: int, L: int,
     D = C // num_heads
     F = w1.shape[-1]
     J = L + 1
-    Tp = -(-T // 8) * 8
-    # widen the bias-token block to a 128-lane-multiple key axis when the
-    # padding is small (<= 24 masked rows): the stage-2 logits/p/PV surfaces
-    # then tile exactly (measured 0.681 -> 0.677 ms at the bench shape; at
-    # larger Tp the extra masked-key flops outweigh the alignment)
-    tk128 = -(-(Tp + 8) // 128) * 128
-    if tk128 - (Tp + 8) <= 24:
-        TKt = tk128
-    else:
-        TKt = Tp + 8
+    # TKt: widen the bias-token block to a 128-lane-multiple key axis when
+    # the padding is small (<= 24 masked rows) — the stage-2 logits/p/PV
+    # surfaces then tile exactly (0.681 -> 0.677 ms; at larger Tp the extra
+    # masked-key flops outweigh the alignment). s1_merged ("9" probe): the J
+    # per-key logit/PV dots collapse into two stacked matmuls — MEASURED
+    # DEAD END at the bench shape (0.647 vs 0.617 ms/layer: the q/k/v
+    # row-tile copies cost more than the ~8 saved MXU-op latencies); kept as
+    # a probe for other shapes.
+    Tp, TKt, s1_merged = _s1_layout(T, L, C, stages)
     BKT = TKt - Tp
-
-    # residue-attention additive bias (B, Tp, J): mask (B, T, L) keys + the
-    # always-attendable bias token
-    bias_l = (mask.astype(jnp.float32) - 1.0) * -_NEG_INF  # (B, T, L)
-    bias_l = jnp.concatenate([bias_l, jnp.zeros((B, T, 1), jnp.float32)], axis=2)
-    if Tp != T:
-        bias_l = jnp.pad(bias_l, ((0, 0), (0, Tp - T), (0, 0)))
-    # frame-attention additive bias (B, L, TKt)
-    kv_t = mask.transpose(0, 2, 1)  # (B, L, T)
-    bias_t = (kv_t.astype(jnp.float32) - 1.0) * -_NEG_INF
-    tail = jnp.full((B, L, TKt - T), _NEG_INF, jnp.float32)
-    tail = tail.at[:, :, Tp - T].set(0.0)
-    bias_t = jnp.concatenate([bias_t, tail], axis=2)
+    R_rows = L * Tp
+    if biases is not None:
+        bias_l, bias_t = biases
+    else:
+        bias_l, bias_t = make_trunk_biases(mask, T, L, C, stages)
 
     cosr_np, sinr_np, fh_np, s_np = _res_tables_np(J, D, C)
     cost_np, sint_np, _ = _time_tables_np(T + 1, D, C)
@@ -626,7 +686,7 @@ def _trunk_call(x, mods, ws, mask, num_heads: int, T: int, L: int,
                           stages=stages, fold_final=final is not None,
                           fold_embed=embed is not None,
                           has_enc=embed is not None and embed[2] is not None,
-                          step_dt=step_dt,
+                          step_dt=step_dt, s1_merged=s1_merged,
                           **kernel_kw),
         grid=grid,
         in_specs=[
@@ -650,7 +710,7 @@ def _trunk_call(x, mods, ws, mask, num_heads: int, T: int, L: int,
             wspec((1, C)),
             wspec((1, Cp)),
             wspec((1, Cp)),
-            bat((1, Tp, J)),
+            bat((1, J * R_rows, 1)) if s1_merged else bat((1, Tp, J)),
             bat((1, L, TKt)),
             rep((J, 1, C)),
             rep((J, 1, C)),
@@ -737,7 +797,7 @@ def _layer_xla(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_t, b
     qkv = h @ wqkv_l.astype(h.dtype) + bqkv_l.astype(h.dtype)
     q, k, v = (a.reshape(B, T, L, C) for a in
                (qkv[..., :C], qkv[..., C:2 * C], qkv[..., 2 * C:]))
-    out = _res_xla(q, k, v, bkl, bvl, mask, num_heads)
+    out = _res_xla(q, k, v, bkl, bvl, mask, num_heads, base2=True)
     y = out.reshape(B, N, C) @ wout_l.astype(x.dtype) + bout_l.astype(x.dtype)
     x = x + g_l[:, None] * y
 
@@ -772,7 +832,8 @@ def _layer_kernels(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_
     qkv = h @ wqkv_l.astype(h.dtype) + bqkv_l.astype(h.dtype)
     q, k, v = (a.reshape(B, T, L, C) for a in
                (qkv[..., :C], qkv[..., C:2 * C], qkv[..., 2 * C:]))
-    out = residue_attention(q, k, v, bkl, bvl, mask, num_heads=num_heads)
+    out = residue_attention(q, k, v, bkl, bvl, mask, num_heads=num_heads,
+                            base2=True)
     y = out.reshape(B, N, C) @ wout_l.astype(x.dtype) + bout_l.astype(x.dtype)
     x = x + g_l[:, None] * y
 
@@ -1089,7 +1150,7 @@ def _embed_xla(xc, wlat_p, cadd, enc, L: int, C: int):
 
 def fused_trunk(x, mods, ws, mask, *, num_heads: int, tl: tuple,
                 force_xla: bool = False, force_pallas: bool = False,
-                final=None, embed=None, step_dt=None):
+                final=None, embed=None, step_dt=None, biases=None):
     """The ENTIRE trunk (all LatentMDGenLayers) as one op. x (B, Tp, L*C)
     frame-padded trunk; mods (B, NL*9C) — every layer's AdaLN output; ``ws``
     a 16-tuple of NL-stacked weights in fused_layer's argument order
@@ -1125,6 +1186,10 @@ def fused_trunk(x, mods, ws, mask, *, num_heads: int, tl: tuple,
     emb_args = ()
     if embed is not None:
         emb_args = (embed[0], embed[1]) + ((embed[2],) if has_enc else ())
+    # precomputed loop-invariant mask biases (make_trunk_biases): only the
+    # inference scan fast path supplies them — training recomputes per call
+    assert biases is None or embed is not None
+    bias_args = tuple(biases) if biases is not None else ()
 
     def split_rest(rest):
         i = 0
@@ -1135,10 +1200,12 @@ def fused_trunk(x, mods, ws, mask, *, num_heads: int, tl: tuple,
         if embed is not None:
             emb_ = (rest[i], rest[i + 1], rest[i + 2] if has_enc else None)
             i += 3 if has_enc else 2
-        return fin_, emb_, tuple(rest[i:-1]), rest[-1]
+        if biases is not None:
+            return fin_, emb_, tuple(rest[i:-3]), rest[-3], tuple(rest[-2:])
+        return fin_, emb_, tuple(rest[i:-1]), rest[-1], None
 
     def per_layer(x_, mods_, *rest):
-        fin_, emb_, ws_, mask_ = split_rest(rest)
+        fin_, emb_, ws_, mask_, _ = split_rest(rest)
         ws_ = unpad_stage2_ws(ws_, num_heads)  # fused_layer takes raw
         h = _embed_xla(x_, emb_[0], emb_[1], emb_[2], L, C) if emb_ is not None else x_
         for i in range(NL):
@@ -1161,28 +1228,29 @@ def fused_trunk(x, mods, ws, mask, *, num_heads: int, tl: tuple,
         interp = jax.default_backend() != "tpu"
 
         def local(x_, mods_, *rest):
-            fin_, emb_, ws_, mask_ = split_rest(rest)
+            fin_, emb_, ws_, mask_, biases_ = split_rest(rest)
             if emb_ is not None:
                 # inference scan fast path: no VJP surface, call the kernel
                 # directly (training uses the plain trunk + XLA embed)
                 return _trunk_call(x_, mods_, ws_, mask_, num_heads, T, L,
                                    interpret=interp, final=fin_, embed=emb_,
-                                   step_dt=step_dt)
+                                   step_dt=step_dt, biases=biases_)
             return _fused_trunk_pallas(x_, mods_, ws_, fin_, mask_,
                                        num_heads, T, L, interp)
 
         if jax.device_count() > 1 or get_kernel_mesh() is not None:
             # modf is batched (B, 2C); wfin/bfin replicated; the embed fold's
-            # cadd/enc are batched, wlat replicated
+            # cadd/enc are batched, wlat replicated; biases batched
             batched = (True, True) \
                 + ((True, False, False) if final is not None else ()) \
                 + ((False, True) + ((True,) if has_enc else ()) if embed is not None else ()) \
-                + (False,) * 16 + (True,)
+                + (False,) * 16 + (True,) + (True,) * len(bias_args)
             out = shard_map_batch0(local, batched, x, mods, *fin_args,
-                                   *emb_args, *ws, mask)
+                                   *emb_args, *ws, mask, *bias_args)
             if out is not None:
                 return out
             if not force_pallas:
-                return per_layer(x, mods, *fin_args, *emb_args, *ws, mask)
-        return local(x, mods, *fin_args, *emb_args, *ws, mask)
-    return per_layer(x, mods, *fin_args, *emb_args, *ws, mask)
+                return per_layer(x, mods, *fin_args, *emb_args, *ws, mask,
+                                 *bias_args)
+        return local(x, mods, *fin_args, *emb_args, *ws, mask, *bias_args)
+    return per_layer(x, mods, *fin_args, *emb_args, *ws, mask, *bias_args)

@@ -378,7 +378,9 @@ def _k1(x_ref, dx1_ref, mod_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
     m = ls[0]
     for l in ls[1:]:
         m = jnp.maximum(m, l)
-    ps = [jnp.exp(l - m) for l in ls]
+    # base-2 softmax: stage-1 q carries scale * LOG2E (the fold contract,
+    # denoiser._fold_fused_args) — pn is the same probability
+    ps = [jnp.exp2(l - m) for l in ls]
     denom = ps[0]
     for p in ps[1:]:
         denom = denom + p
@@ -408,7 +410,8 @@ def _k1(x_ref, dx1_ref, mod_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
     dq32 = jnp.zeros((R, C), jnp.float32)
     dks, dvs = [], []
     for j in range(J):
-        dl = (pns[j] * (dpns[j] - srow)).astype(dt)  # (R, H)
+        # d exp2(x)/dx = ln2 * exp2(x): the adjoint wrt base-2 logits
+        dl = (_LN2 * pns[j] * (dpns[j] - srow)).astype(dt)  # (R, H)
         de = _mm(dl, Std, 1, 0)                      # (R, C) f32
         dq32 = dq32 + de * k_tiles[j].astype(jnp.float32)
         deq = de * q_all.astype(jnp.float32)         # (R, C)

@@ -63,7 +63,7 @@ def _tables_np(n_pos: int, head_dim: int, channels: int):
 
 
 def _kernel(q_ref, k_ref, v_ref, bk_ref, bv_ref, bias_ref, cos_ref, sin_ref, fh_ref, s_ref,
-            st_ref, o_ref, *, head_dim: int, channels: int):
+            st_ref, o_ref, *, head_dim: int, channels: int, base2: bool = False):
     """Pair-loop formulation: inputs ride as (rows, L*C) — a FREE contiguous
     reshape of (B, T, L, C) — so every residue slice is a static lane-tile
     slice (C = a whole number of 128-lane tiles), and the unrolled L*(L+1)
@@ -110,14 +110,20 @@ def _kernel(q_ref, k_ref, v_ref, bk_ref, bv_ref, bias_ref, cos_ref, sin_ref, fh_
                 e, Sd, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
             )  # (BT, H)
             ls.append(l + bias[:, j:j + 1])
-        m = ls[0]
-        for l in ls[1:]:
-            m = jnp.maximum(m, l)
-        ps = [jnp.exp(l - m) for l in ls]
+        if base2:
+            # q carries scale * LOG2E (ops/time_attention docstring): no max
+            # tree — exp2 with a static overflow cap (exp2(100) = 1.3e30,
+            # sum <= J * 2^100 << f32 max), epsilon-guarded denominator
+            ps = [jnp.exp2(jnp.minimum(l, 100.0)) for l in ls]
+        else:
+            m = ls[0]
+            for l in ls[1:]:
+                m = jnp.maximum(m, l)
+            ps = [jnp.exp(l - m) for l in ls]
         denom = ps[0]
         for p in ps[1:]:
             denom = denom + p
-        inv = 1.0 / denom
+        inv = 1.0 / (denom + 1e-30 if base2 else denom)
         acc = jnp.zeros((BT, C), jnp.float32)
         for j in range(J):
             # expand head weights to channels ((BT, H) @ (H, C), f32 — a bf16
@@ -130,9 +136,10 @@ def _kernel(q_ref, k_ref, v_ref, bk_ref, bv_ref, bias_ref, cos_ref, sin_ref, fh_
         o_ref[:, i * C:(i + 1) * C] = acc.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "interpret", "block_rows"))
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret", "block_rows",
+                                             "base2"))
 def _pallas_fwd(q, k, v, bias_k, bias_v, key_valid, num_heads: int, interpret: bool = False,
-                block_rows: int = 512):
+                block_rows: int = 512, base2: bool = False):
     B, T, L, C = q.shape
     D = C // num_heads
     J = L + 1
@@ -174,7 +181,7 @@ def _pallas_fwd(q, k, v, bias_k, bias_v, key_valid, num_heads: int, interpret: b
     bv = bias_v.reshape(1, C).astype(q.dtype)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, head_dim=D, channels=C),
+        functools.partial(_kernel, head_dim=D, channels=C, base2=base2),
         grid=(n_r,),
         in_specs=[
             pl.BlockSpec((br, L * C), lambda i: (i, 0)),
@@ -198,30 +205,35 @@ def _pallas_fwd(q, k, v, bias_k, bias_v, key_valid, num_heads: int, interpret: b
 
 
 # ---------------------------------------------------------------------------
-def _xla_impl(q, k, v, bias_k, bias_v, key_valid, num_heads: int):
+def _xla_impl(q, k, v, bias_k, bias_v, key_valid, num_heads: int, base2: bool = False):
     """Reference composition over the residue axis: rows are (B*T); reuses the
     time-attention reference with T and L swapped."""
     swap = lambda x: x.transpose(0, 2, 1, 3)
     # time_attention's reference attends over dim 1 with dim 2 as batch; after
     # the swap the attend dim is L and the batch dim is T, so its key_valid
     # format (B, batch, attend) is exactly our (B, T, L) input
-    out = _time_xla_impl(swap(q), swap(k), swap(v), bias_k, bias_v, key_valid, num_heads)
+    out = _time_xla_impl(swap(q), swap(k), swap(v), bias_k, bias_v, key_valid, num_heads,
+                         base2=base2)
     return swap(out)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def _residue_attention_pallas(q, k, v, bias_k, bias_v, key_valid, num_heads, interpret=False):
-    return _pallas_fwd(q, k, v, bias_k, bias_v, key_valid, num_heads, interpret=interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _residue_attention_pallas(q, k, v, bias_k, bias_v, key_valid, num_heads,
+                              interpret=False, base2=False):
+    return _pallas_fwd(q, k, v, bias_k, bias_v, key_valid, num_heads, interpret=interpret,
+                       base2=base2)
 
 
-def _ra_fwd(q, k, v, bias_k, bias_v, key_valid, num_heads, interpret):
-    return (_pallas_fwd(q, k, v, bias_k, bias_v, key_valid, num_heads, interpret=interpret),
+def _ra_fwd(q, k, v, bias_k, bias_v, key_valid, num_heads, interpret, base2):
+    return (_pallas_fwd(q, k, v, bias_k, bias_v, key_valid, num_heads, interpret=interpret,
+                        base2=base2),
             (q, k, v, bias_k, bias_v, key_valid))
 
 
-def _ra_bwd(num_heads, interpret, res, g):
+def _ra_bwd(num_heads, interpret, base2, res, g):
     q, k, v, bias_k, bias_v, key_valid = res
-    _, vjp = jax.vjp(lambda *a: _xla_impl(*a, num_heads), q, k, v, bias_k, bias_v, key_valid)
+    _, vjp = jax.vjp(lambda *a: _xla_impl(*a, num_heads, base2=base2),
+                     q, k, v, bias_k, bias_v, key_valid)
     dq, dk, dv, dbk, dbv, _ = vjp(g)
     return dq, dk, dv, dbk, dbv, None
 
@@ -230,12 +242,15 @@ _residue_attention_pallas.defvjp(_ra_fwd, _ra_bwd)
 
 
 def residue_attention(q, k, v, bias_k, bias_v, key_valid=None, *, num_heads: int,
-                      force_xla: bool = False, force_pallas: bool = False):
+                      force_xla: bool = False, force_pallas: bool = False,
+                      base2: bool = False):
     """Residue attention in (B, T, L, C) layout: attends over L, batch (B, T).
 
     q pre-scaled by head_dim**-0.5 and projected; k, v projected; bias_k /
     bias_v (1, 1, C) or (C,); key_valid (B, T, L) with 1 = attendable (the
     bias token is always attendable). Returns (B, T, L, C) pre-out-proj.
+    ``base2``: q additionally carries LOG2E and softmax runs via exp2 with a
+    static overflow cap (the fold contract, ops/time_attention docstring).
     """
     import os
 
@@ -261,7 +276,7 @@ def residue_attention(q, k, v, bias_k, bias_v, key_valid=None, *, num_heads: int
     if use_pallas:
         def local(q, k, v, bk, bv, key_valid):
             return _residue_attention_pallas(q, k, v, bk, bv, key_valid,
-                                             num_heads, interp)
+                                             num_heads, interp, base2)
 
         if multi:
             out = shard_map_batch0(local, (True, True, True, False, False, True),
@@ -269,7 +284,8 @@ def residue_attention(q, k, v, bias_k, bias_v, key_valid=None, *, num_heads: int
             if out is not None:
                 return out
             if not force_pallas:
-                return _xla_impl(q, k, v, bias_k, bias_v, key_valid, num_heads)
+                return _xla_impl(q, k, v, bias_k, bias_v, key_valid, num_heads,
+                                 base2=base2)
         return local(q, k, v, bias_k, bias_v, key_valid)
     if not force_xla and on_tpu and C % 128 == 0 and _blocked_fits(L, C):
         # large L (ATLAS crop-256): residue attention is time attention with
@@ -282,7 +298,8 @@ def residue_attention(q, k, v, bias_k, bias_v, key_valid=None, *, num_heads: int
 
         def local_blocked(q, k, v, bk, bv, key_valid):
             out = _time_attention_pallas_blocked(
-                swap(q), swap(k), swap(v), bk, bv, key_valid, num_heads, interp
+                swap(q), swap(k), swap(v), bk, bv, key_valid, num_heads, interp,
+                base2
             )
             return swap(out)
 
@@ -291,6 +308,7 @@ def residue_attention(q, k, v, bias_k, bias_v, key_valid=None, *, num_heads: int
                                    q, k, v, bias_k, bias_v, key_valid)
             if out is not None:
                 return out
-            return _xla_impl(q, k, v, bias_k, bias_v, key_valid, num_heads)
+            return _xla_impl(q, k, v, bias_k, bias_v, key_valid, num_heads,
+                             base2=base2)
         return local_blocked(q, k, v, bias_k, bias_v, key_valid)
-    return _xla_impl(q, k, v, bias_k, bias_v, key_valid, num_heads)
+    return _xla_impl(q, k, v, bias_k, bias_v, key_valid, num_heads, base2=base2)
