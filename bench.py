@@ -65,17 +65,23 @@ def main():
         # encoder + the t-embedder chain — exactly as _sample does
         dt = 1.0 / N_STEPS
         pack = model.apply(params, method=model.make_trunk_pack)
-        consts = model.apply(params, x_cond, x_cond_mask, mask,
+        consts = model.apply(params, x_cond, x_cond_mask, mask, aatype=aatype,
+                             start_frames=frames, end_frames=frames,
                              method=model.make_scan_consts)
         ts = jnp.linspace(0.05, 0.95, N_STEPS)[:, None] * jnp.ones((1, B), jnp.float32)
+        # the whole t-embedder chain precomputed in one batched call (the t
+        # grid is known before the scan) and fed per step via scan xs
+        tembs = model.apply(params, ts, method=model.embed_times)
 
-        def step(xc, tk):
+        def step(xc, xs_row):
+            tk, te = xs_row
             return model.apply(
                 params, xc, tk, mask, start_frames=frames, end_frames=frames,
                 aatype=aatype, trunk_pack=pack, scan_consts=consts, ode_dt=dt,
+                t_emb=te,
             ), ()
 
-        xT, _ = jax.lax.scan(step, latent_to_flat(x0, P), ts)
+        xT, _ = jax.lax.scan(step, latent_to_flat(x0, P), (ts, tembs))
         return flat_to_latent(xT, T, L, cfg.latent_dim)
 
     euler_chain(params, x).block_until_ready()  # compile

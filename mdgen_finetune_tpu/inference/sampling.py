@@ -158,22 +158,29 @@ class InferenceEngine:
             from ..models.denoiser import flat_to_latent, latent_to_flat
 
             consts = self.model.apply(params, kw["x_cond"], kw["x_cond_mask"],
-                                      kw["mask"], method=self.model.make_scan_consts)
+                                      kw["mask"], aatype=kw.get("aatype"),
+                                      start_frames=kw.get("start_frames"),
+                                      end_frames=kw.get("end_frames"),
+                                      method=self.model.make_scan_consts)
             t0, t1 = self.transport.check_interval(eval=True)
             n = cfg.transport.inference_steps
             dt = (t1 - t0) / n
             ts = t0 + dt * jnp.arange(n, dtype=zs.dtype)
+            # the whole t-embedder chain in ONE batched call (the t grid is
+            # known before the scan); rows broadcast to (B, C) per step
+            tembs = self.model.apply(params, ts, method=self.model.embed_times)
             P = -(-cfg.latent_dim // 128) * 128
 
-            def step(xc, tk):
+            def step(xc, xs_row):
+                tk, te = xs_row
                 tv = jnp.full((B,), tk, zs.dtype)
                 return self.model.apply(
                     params, xc, tv, kw["mask"],
                     start_frames=kw.get("start_frames"), end_frames=kw.get("end_frames"),
                     aatype=kw.get("aatype"), trunk_pack=pack, scan_consts=consts,
-                    ode_dt=dt), None
+                    ode_dt=dt, t_emb=jnp.broadcast_to(te[None], (B, te.shape[-1]))), None
 
-            xT, _ = jax.lax.scan(step, latent_to_flat(zs, P), ts)
+            xT, _ = jax.lax.scan(step, latent_to_flat(zs, P), (ts, tembs))
             samples = flat_to_latent(xT, T, L, cfg.latent_dim)
             return self._decode(samples, prep.get("rigids"), batch["seqres"])
 

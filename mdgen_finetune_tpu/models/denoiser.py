@@ -435,15 +435,18 @@ class LatentMDGen(nn.Module):
         ws = tuple(jnp.stack([f[k] for f in folded]) for k in range(len(folded[0])))
         return wmods, bmods, ws
 
-    def _encode(self, x, t_emb, mask, frames, enc_pack):
+    def _encode(self, x, t_emb, mask, frames, enc_pack, mods=None):
         """One encoder pass: fused stack (parent path) or the IPALayer
-        modules."""
+        modules. ``mods``: precomputed encoder AdaLN rows (the flat-latent
+        fast path batches them into the trunk's mods matmul)."""
         m = self.cfg.model
         if self.parent_trunk:
-            wmods, bmods, ws = (enc_pack if enc_pack is not None
-                                else self.make_encoder_pack())
-            se = nn.silu(t_emb).astype(self.dtype)
-            mods = se @ wmods + bmods  # (B, NL*6C)
+            if mods is None:
+                wmods, bmods, _ws = (enc_pack if enc_pack is not None
+                                     else self.make_encoder_pack())
+                se = nn.silu(t_emb).astype(self.dtype)
+                mods = se @ wmods + bmods  # (B, NL*6C)
+            ws = (enc_pack if enc_pack is not None else self.make_encoder_pack())[2]
             return ipa_encoder(x, mods, ws, frames, mask,
                                num_heads_mha=m.mha_heads, Hi=m.ipa_heads,
                                Ch=m.ipa_head_dim, Pq=m.ipa_qk, Pv=m.ipa_v)
@@ -451,9 +454,11 @@ class LatentMDGen(nn.Module):
             x = layer(x, t_emb, mask, frames=frames)
         return x
 
-    def run_ipa(self, t_emb, mask, start_frames, end_frames, aatype, x_d=None,
-                enc_pack=None):
-        """Conditioning encoder over (B, L) (src/mdgen/model/latent_model.py:179-214)."""
+    def make_encoder_tokens(self, mask, aatype, start_frames, end_frames, x_d=None):
+        """The encoder's input tokens — pure functions of the conditioning
+        (aatype / endpoint frames), i.e. loop-invariant under an ODE scan.
+        ``mask`` (B, L). Returns a 1- or 2-tuple matching run_ipa's
+        ``tokens=``."""
         cfg = self.cfg
         if cfg.task.sim_condition or cfg.task.mpnn or cfg.task.cond_interval:
             B, L = mask.shape
@@ -462,8 +467,7 @@ class LatentMDGen(nn.Module):
                 x = x + self.aatype_to_emb(aatype)
             if cfg.task.design:
                 x = x + self.x_d_to_emb(x_d)
-            return self._encode(x, t_emb, mask, start_frames, enc_pack)
-        # tps / inpainting / dynamic_mpnn: forward+reverse relative-frame tokens
+            return (x,)
         x_f = self.latent_to_emb_f(start_frames.invert().compose(end_frames).to_tensor_7().astype(self.dtype))
         x_r = self.latent_to_emb_r(end_frames.invert().compose(start_frames).to_tensor_7().astype(self.dtype))
         if aatype is not None and not cfg.model.no_aa_emb:
@@ -472,8 +476,21 @@ class LatentMDGen(nn.Module):
         if cfg.task.design:
             x_f = x_f + self.x_d_to_emb(x_d)
             x_r = x_r + self.x_d_to_emb(x_d)
-        x_r = self._encode(x_r, t_emb, mask, start_frames, enc_pack)
-        x_f = self._encode(x_f, t_emb, mask, end_frames, enc_pack)
+        return (x_f, x_r)
+
+    def run_ipa(self, t_emb, mask, start_frames, end_frames, aatype, x_d=None,
+                enc_pack=None, enc_mods=None, tokens=None):
+        """Conditioning encoder over (B, L) (src/mdgen/model/latent_model.py:179-214)."""
+        cfg = self.cfg
+        if tokens is None:
+            tokens = self.make_encoder_tokens(mask, aatype, start_frames, end_frames, x_d)
+        if cfg.task.sim_condition or cfg.task.mpnn or cfg.task.cond_interval:
+            return self._encode(tokens[0], t_emb, mask, start_frames, enc_pack,
+                                mods=enc_mods)
+        # tps / inpainting / dynamic_mpnn: forward+reverse relative-frame tokens
+        x_f, x_r = tokens
+        x_r = self._encode(x_r, t_emb, mask, start_frames, enc_pack, mods=enc_mods)
+        x_f = self._encode(x_f, t_emb, mask, end_frames, enc_pack, mods=enc_mods)
         return x_r + x_f
 
     def make_trunk_pack(self):
@@ -504,7 +521,14 @@ class LatentMDGen(nn.Module):
             tuple(jnp.stack([p[1][k] for p in packs]) for k in range(16)),
             self.cfg.model.mha_heads)
         enc = self.make_encoder_pack() if self.cfg.model.prepend_ipa else None
-        return (wmods, bmods, ws, fin, enc)
+        # combined AdaLN projection: trunk (+FinalLayer) columns followed by
+        # the encoder layers' columns — the flat-latent fast path computes
+        # every per-step mod row with ONE (B, C) @ (C, ·) matmul and slices
+        big = None
+        if enc is not None:
+            big = (jnp.concatenate([wmods, enc[0]], axis=1),
+                   jnp.concatenate([bmods, enc[1]]), wmods.shape[1])
+        return (wmods, bmods, ws, fin, enc, big)
 
     @staticmethod
     def flat_scan_ok(cfg: MDGenConfig) -> bool:
@@ -525,7 +549,8 @@ class LatentMDGen(nn.Module):
         emb = self.t_embedder(flat * mult).astype(self.dtype)
         return emb.reshape(*t.shape, emb.shape[-1])
 
-    def make_scan_consts(self, x_cond, x_cond_mask, mask):
+    def make_scan_consts(self, x_cond, x_cond_mask, mask, aatype=None,
+                         start_frames=None, end_frames=None):
         """Per-ODE-step-constant embed terms for the flat-latent sampling
         fast path, computed ONCE per sample call. Everything here depends
         only on the conditioning — not on (x, t) — yet the reference (and
@@ -543,7 +568,10 @@ class LatentMDGen(nn.Module):
             tables + cond/mask embeddings, summed in the padded trunk
             layout (pad rows zero);
           - ``biases``: the trunk kernel's additive mask biases
-            (ops/fused_layer.make_trunk_biases), equally loop-invariant."""
+            (ops/fused_layer.make_trunk_biases), equally loop-invariant;
+          - ``tokens``: the encoder's input tokens (make_encoder_tokens),
+            when the conditioning args are supplied — else None and
+            _flat_call rebuilds them per step."""
         cfg = self.cfg
         B, T, L = mask.shape
         C = cfg.model.embed_dim
@@ -570,7 +598,12 @@ class LatentMDGen(nn.Module):
         if Tp != T:
             add = jnp.pad(add, ((0, 0), (0, Tp - T), (0, 0)))
         from ..ops.fused_layer import make_trunk_biases
-        return wlat_p, add.astype(self.dtype), make_trunk_biases(mask, T, L, C)
+        tokens = None
+        if cfg.model.prepend_ipa and (aatype is not None or start_frames is not None):
+            tokens = self.make_encoder_tokens(mask[:, 0], aatype,
+                                              start_frames, end_frames)
+        return (wlat_p, add.astype(self.dtype),
+                make_trunk_biases(mask, T, L, C), tokens)
 
     def __call__(
         self,
@@ -586,6 +619,7 @@ class LatentMDGen(nn.Module):
         scan_consts=None,
         ode_dt=None,
         t_emb=None,
+        enc=None,
     ):
         cfg = self.cfg
         task = cfg.task
@@ -599,7 +633,7 @@ class LatentMDGen(nn.Module):
             # PERF.md r3)
             return self._flat_call(x, t, mask, scan_consts, trunk_pack,
                                    start_frames, end_frames, aatype,
-                                   ode_dt=ode_dt, t_emb=t_emb)
+                                   ode_dt=ode_dt, t_emb=t_emb, enc=enc)
         if task.dynamic_mpnn:
             sel = jnp.array([0, x.shape[1] - 1])
             x, x_cond, x_cond_mask, mask = x[:, sel], x_cond[:, sel], x_cond_mask[:, sel], mask[:, sel]
@@ -665,7 +699,7 @@ class LatentMDGen(nn.Module):
                 # every layer's AdaLN (and the FinalLayer's) in ONE matmul:
                 # concat the zero-init projections' columns (exact
                 # per-column equality with the per-layer dense calls)
-                wmods, bmods, ws, fin, _enc = pack
+                wmods, bmods, ws, fin, _enc = pack[:5]
                 NL = len(self.layers)
                 se = nn.silu(t_emb).astype(self.dtype)
                 mods_all = se @ wmods + bmods  # (B, NL*9C [+ 2C])
@@ -709,10 +743,15 @@ class LatentMDGen(nn.Module):
     # work but made XLA's compile time scale LINEARLY with the scan length
     # (~3.4 s/step at the bench shape — the big sliced xs defeat the
     # while-loop form), turning a 100-step sampling compile into ~6 min.
-    # The per-step t-embedder + fused encoder below cost < 3% of a step.
+    # RE-MEASURED in r3 with only the ENCODER outputs as xs ((N, B, L, C),
+    # ~10 MB): compile exceeded 28 minutes — same pathology, dead end. The
+    # small (N, B, C) t-embedding xs does NOT trigger it (compiles in
+    # seconds, +23 steps/s) and is what bench/engine precompute via
+    # embed_times. The per-step fused encoder costs ~1% of a step.
 
     def _flat_call(self, x, t, mask, scan_consts, trunk_pack,
-                   start_frames, end_frames, aatype, ode_dt=None, t_emb=None):
+                   start_frames, end_frames, aatype, ode_dt=None, t_emb=None,
+                   enc=None):
         """Fast-path body: trunk-layout x in, trunk-layout velocity out —
         or, with ``ode_dt``, the euler-updated carry ``x + dt * v`` directly
         (the embed stage AND the update are folded into the trunk kernel, so
@@ -722,21 +761,31 @@ class LatentMDGen(nn.Module):
         valid output reads (attention masks them as keys), and pad lanes
         stay exactly zero (zero wlat_p rows in, zero wfin columns out)."""
         cfg = self.cfg
-        wlat_p, const_add, biases = (scan_consts if len(scan_consts) == 3
-                                     else (*scan_consts, None))
+        consts = tuple(scan_consts) + (None,) * (4 - len(scan_consts))
+        wlat_p, const_add, biases, tokens = consts
         B, T, L = mask.shape
         C = cfg.model.embed_dim
         pack = trunk_pack if trunk_pack is not None else self.make_trunk_pack()
-        wmods, bmods, ws, fin, _enc = pack
+        wmods, bmods, ws, fin, encp = pack[:5]
+        big = pack[5] if len(pack) > 5 else None
         NL = len(self.layers)
         if t_emb is None:
             t_emb = self.t_embedder(t * cfg.model.time_multiplier).astype(self.dtype)
-        enc = None
-        if cfg.model.prepend_ipa:
-            enc = self.run_ipa(t_emb, mask[:, 0], start_frames, end_frames,
-                               aatype, enc_pack=pack[4])
         se = nn.silu(t_emb).astype(self.dtype)
-        mods_all = se @ wmods + bmods
+        # one matmul for every per-step AdaLN row: trunk layers + FinalLayer
+        # + the encoder layers (columns concatenated in make_trunk_pack);
+        # with a precomputed ``enc`` (encode_steps) only the trunk columns run
+        enc_mods = None
+        if big is not None and cfg.model.prepend_ipa and enc is None:
+            wbig, bbig, ncut = big
+            mall = se @ wbig + bbig
+            mods_all, enc_mods = mall[:, :ncut], mall[:, ncut:]
+        else:
+            mods_all = se @ wmods + bmods
+        if enc is None and cfg.model.prepend_ipa:
+            enc = self.run_ipa(t_emb, mask[:, 0], start_frames, end_frames,
+                               aatype, enc_pack=encp, enc_mods=enc_mods,
+                               tokens=tokens)
         mods = mods_all[:, :NL * 9 * C]
         modf = mods_all[:, NL * 9 * C:]
         return fused_trunk(x, mods, ws, mask, num_heads=cfg.model.mha_heads,

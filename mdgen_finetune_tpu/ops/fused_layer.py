@@ -130,6 +130,10 @@ def _kernel(x_ref, mod_ref, *refs, num_heads: int, head_dim: int, channels: int,
         return (x32 * cos + rotate_half_t(x32) * sin).astype(x.dtype)
 
     def matmul(a, w, b):
+        # (a bf16-emitting dot_general (preferred_element_type=dt, bias on
+        # the narrow surface) CRASHES the TPU worker — Mosaic kernel fault,
+        # measured r3; keep projections f32-accumulating with an explicit
+        # cast)
         return jax.lax.dot_general(
             a, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         ) + b.astype(jnp.float32)
@@ -218,15 +222,30 @@ def _kernel(x_ref, mod_ref, *refs, num_heads: int, head_dim: int, channels: int,
         qkv = matmul(modln(X, 0), wqkv_l, bqkv_l).astype(dt)  # (R, 3C)
         if "a" not in stages:  # "a" ablates the attention core (perf probe)
             if "r" in stages:  # perf probe: stage-1 rope cost
-                qs = [blk(qkv, r)[:, :C] for r in range(L)]
+                q_all = qkv[:, :C]
                 ks = [blk(qkv, r)[:, C:2 * C] for r in range(L)]
             else:
-                qs = [rope_res(blk(qkv, r)[:, :C], r) for r in range(L)]
-                ks = [rope_res(blk(qkv, r)[:, C:2 * C], r) for r in range(L)]
+                # rope ONCE over all stacked rows (residue-major, so the
+                # per-residue table rows tile to (R, C) via free row
+                # concats of broadcasts) — replaces 2L per-slice rope calls
+                # with two full-surface applications (stage-2's pattern)
+                cr = jnp.concatenate(
+                    [jnp.broadcast_to(cosr_ref[r].astype(jnp.float32), (Tp, C))
+                     for r in range(L)], axis=0)
+                sr = jnp.concatenate(
+                    [jnp.broadcast_to(sinr_ref[r].astype(jnp.float32), (Tp, C))
+                     for r in range(L)], axis=0)
+
+                def rope_rows_res(x):
+                    x32 = x.astype(jnp.float32)
+                    return (x32 * cr + rotate_half(x32) * sr).astype(x.dtype)
+
+                q_all = rope_rows_res(qkv[:, :C])  # (R, C), i-major rows
+                k_all = rope_rows_res(qkv[:, C:2 * C])
+                ks = [k_all[r * Tp:(r + 1) * Tp] for r in range(L)]
             vs = [blk(qkv, r)[:, 2 * C:] for r in range(L)]
             ks.append(rope_res(jnp.broadcast_to(bkl, (Tp, C)).astype(dt), L))
             vs.append(jnp.broadcast_to(bvl, (Tp, C)).astype(dt))
-            q_all = jnp.concatenate(qs, axis=0)  # (R, C), i-major rows
 
             Sd = S.astype(dt)
             if s1_merged:
@@ -281,14 +300,31 @@ def _kernel(x_ref, mod_ref, *refs, num_heads: int, head_dim: int, channels: int,
                 for p in ps[1:]:
                     denom = denom + p
                 inv = 1.0 / (denom + 1e-30)
-                acc = jnp.zeros((R, C), jnp.float32)
-                for j in range(J):
-                    p_exp = jax.lax.dot_general(
-                        ps[j] * inv, St, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-                    )  # (R, C)
-                    v_t = jnp.concatenate([vs[j]] * L, axis=0).astype(jnp.float32)
-                    # "K" perf probe: stage-1 PV fma-accumulate cost
-                    acc = p_exp if "K" in stages else acc + p_exp * v_t
+                if "o" in stages:
+                    # "o" probe: PV-merged form — ONE (J*R, H)@(H, C) dot
+                    # replacing the J per-j dots. MEASURED DEAD END (0.650
+                    # vs 0.617 ms/layer): the (J*R, C) f32 output
+                    # materialization + row slices cost more than the 4
+                    # saved MXU-op latencies; the per-j (R, C) sheets feed
+                    # their fma immediately instead.
+                    p_stack = jnp.concatenate([ps[j] * inv for j in range(J)], axis=0)
+                    pv = jax.lax.dot_general(
+                        p_stack, St, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # (J*R, C)
+                    acc = jnp.zeros((R, C), jnp.float32)
+                    for j in range(J):
+                        v_t = jnp.concatenate([vs[j]] * L, axis=0).astype(jnp.float32)
+                        acc = (pv[j * R:(j + 1) * R] if "K" in stages
+                               else acc + pv[j * R:(j + 1) * R] * v_t)
+                else:
+                    acc = jnp.zeros((R, C), jnp.float32)
+                    for j in range(J):
+                        p_exp = jax.lax.dot_general(
+                            ps[j] * inv, St, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                        )  # (R, C)
+                        v_t = jnp.concatenate([vs[j]] * L, axis=0).astype(jnp.float32)
+                        # "K" perf probe: stage-1 PV fma-accumulate cost
+                        acc = p_exp if "K" in stages else acc + p_exp * v_t
                 att1 = acc.astype(dt)  # (R, C)
         else:
             att1 = qkv[:, 2 * C:]
