@@ -793,6 +793,63 @@ class LatentMDGen(nn.Module):
                            embed=(wlat_p, const_add, enc),
                            step_dt=ode_dt, biases=biases)  # (B, Tp, L*P) f32
 
+    def flat_euler_steps(self, x, ts, mask, scan_consts, trunk_pack,
+                         start_frames=None, end_frames=None, aatype=None,
+                         ode_dt=None, t_embs=None):
+        """S euler steps in ONE fused-trunk kernel call (the multi-step fold,
+        ops/fused_layer.fused_trunk ode_steps=S). ``ts`` (S, B); ``x`` the
+        flat f32 carry (B, Tp, L*P). All S steps' AdaLN rows come from one
+        (S*B, C) matmul and all S encoder passes from one batched encoder
+        kernel call; the inter-step carry never leaves VMEM. Bitwise equal
+        to S successive single-step _flat_call euler updates (pinned by
+        tests/test_flat_scan.py)."""
+        cfg = self.cfg
+        consts = tuple(scan_consts) + (None,) * (4 - len(scan_consts))
+        wlat_p, const_add, biases, tokens = consts
+        B, T, L = mask.shape
+        C = cfg.model.embed_dim
+        Sn = ts.shape[0]
+        pack = trunk_pack if trunk_pack is not None else self.make_trunk_pack()
+        wmods, bmods, ws, fin, encp = pack[:5]
+        big = pack[5] if len(pack) > 5 else None
+        NL = len(self.layers)
+        if t_embs is None:
+            t_embs = self.t_embedder(
+                ts.reshape(-1) * cfg.model.time_multiplier).astype(self.dtype)
+        t_embs = t_embs.reshape(Sn * B, C)
+        se = nn.silu(t_embs).astype(self.dtype)
+        enc_mods = None
+        if big is not None and cfg.model.prepend_ipa:
+            wbig, bbig, ncut = big
+            mall = se @ wbig + bbig  # (S*B, ncut + enc cols)
+            mods_all, enc_mods = mall[:, :ncut], mall[:, ncut:]
+        else:
+            mods_all = se @ wmods + bmods
+        enc = None
+        if cfg.model.prepend_ipa:
+            tile = lambda a: jnp.broadcast_to(a[None], (Sn,) + a.shape).reshape(
+                (Sn * a.shape[0],) + a.shape[1:])
+            toks = tokens if tokens is not None else self.make_encoder_tokens(
+                mask[:, 0], aatype, start_frames, end_frames)
+            toks_t = tuple(tile(tk) for tk in toks)
+            f_s = (jax.tree_util.tree_map(tile, start_frames)
+                   if start_frames is not None else None)
+            f_e = (jax.tree_util.tree_map(tile, end_frames)
+                   if end_frames is not None else None)
+            enc = self.run_ipa(t_embs, tile(mask[:, 0]), f_s, f_e,
+                               tile(aatype) if aatype is not None else None,
+                               enc_pack=encp, enc_mods=enc_mods, tokens=toks_t)
+            # rows are (s, b)-major; the kernel wants (B, S, L*C)
+            enc = enc.reshape(Sn, B, L * C).transpose(1, 0, 2)
+        mods = mods_all[:, :NL * 9 * C].reshape(Sn, B, NL * 9 * C)
+        mods = mods.transpose(1, 0, 2).reshape(B, Sn * NL * 9 * C)
+        modf = mods_all[:, NL * 9 * C:].reshape(Sn, B, 2 * C).transpose(1, 0, 2)
+        return fused_trunk(x, mods, ws, mask, num_heads=cfg.model.mha_heads,
+                           tl=(T, L), final=(modf, *fin),
+                           embed=(wlat_p, const_add, enc),
+                           step_dt=ode_dt, biases=biases,
+                           ode_steps=Sn)  # (B, Tp, L*P) f32
+
     # ------------------------------------------------------------------
     def forward_inference(self, x, t, mask, **kwargs):
         """Sampling-time forward; transforms design logits into the Dirichlet

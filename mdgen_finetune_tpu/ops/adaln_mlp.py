@@ -182,15 +182,30 @@ def adaln_mlp(x, sh, sc, g, w1, b1, w2, b2, *, force_xla: bool = False,
     b2 (C). Returns x + g * mlp(modulate(LN(x), sh, sc)), x.dtype."""
     import os
 
+    from ..parallel.kernel_sharding import get_kernel_mesh, shard_map_batch0
+
     B, N, C = x.shape
     env = os.environ.get("MDGEN_ADALN_MLP", "")
     force_xla = force_xla or env == "xla"
     force_pallas = force_pallas or env == "pallas"
-    # Default OFF: measured end-to-end at the bench shape XLA's composition
-    # (which fuses the LN stats into the fc2 matmul epilogue) edges out this
-    # kernel — 4954 vs 4824 steps/s (PERF.md r2). Kept as a tested building
-    # block behind force_pallas / the env override.
-    use_pallas = force_pallas and C % 128 == 0
+    # Shape-gated: at SMALL row counts XLA's composition (which fuses the LN
+    # stats into the fc2 matmul epilogue) edges out this kernel — 4954 vs
+    # 4824 steps/s at the r2 bench shape (rows 3200; that shape now runs the
+    # whole-trunk kernel anyway). At the LARGE shapes that actually reach
+    # this op (the modular _layer_kernels path: ATLAS crop-256, long-T),
+    # the kernel wins decisively — ATLAS forward 43.4 -> 38.4 ms (r3).
+    use_pallas = C % 128 == 0 and (force_pallas or (
+        not force_xla and jax.default_backend() == "tpu" and B * N >= 16384))
     if use_pallas:
+        mesh = get_kernel_mesh()
+        if jax.device_count() > 1 or mesh is not None:
+            out = shard_map_batch0(
+                lambda *a: _adaln_mlp_pallas(*a),
+                (True, True, True, True, False, False, False, False),
+                x, sh, sc, g, w1, b1, w2, b2)
+            if out is not None:
+                return out
+            if not force_pallas:
+                return _xla_impl(x, sh, sc, g, w1, b1, w2, b2)
         return _adaln_mlp_pallas(x, sh, sc, g, w1, b1, w2, b2)
     return _xla_impl(x, sh, sc, g, w1, b1, w2, b2)

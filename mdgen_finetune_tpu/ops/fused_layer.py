@@ -38,7 +38,8 @@ _LN_EPS = 1e-6
 def _kernel(x_ref, mod_ref, *refs, num_heads: int, head_dim: int, channels: int,
             stages: str = "123", num_layers: int = 1, stream_layers: int = 0,
             fold_final: bool = False, fold_embed: bool = False,
-            has_enc: bool = False, step_dt=None, s1_merged: bool = False):
+            has_enc: bool = False, step_dt=None, s1_merged: bool = False,
+            ode_steps: int = 1):
     """Row-stacked layout: the (Tp, L*C) input is restacked ONCE to
     (L*Tp, C) so every projection / out-proj / MLP matmul runs as a single
     MXU op with M = L*Tp rows — the r2 per-residue loop ran each matmul at
@@ -80,9 +81,15 @@ def _kernel(x_ref, mod_ref, *refs, num_heads: int, head_dim: int, channels: int,
      bias_l_ref, bias_t_ref,
      cosr_ref, sinr_ref, cost_ref, sint_ref, fh_ref, fht_ref, s_ref, st_ref,
      o_ref, *rest) = refs
+    S_steps = ode_steps
     if NLt:
-        *res_refs, xbuf = rest
-        li_s = pl.program_id(1)
+        if S_steps > 1:
+            *res_refs, xbuf, cbuf = rest
+        else:
+            *res_refs, xbuf = rest
+            cbuf = None
+        li_s = pl.program_id(1)  # over S_steps * NLt programs
+        lq = li_s % NLt if S_steps > 1 else li_s  # layer index within a step
     else:
         res_refs = rest
     Tp = x_ref.shape[1]
@@ -143,30 +150,36 @@ def _kernel(x_ref, mod_ref, *refs, num_heads: int, head_dim: int, channels: int,
         return jnp.concatenate([x[:, r * C:(r + 1) * C] for r in range(L)], axis=0)
 
     if NLt:
-        # first layer restacks the trunk input into the persistent scratch;
-        # later programs (same b) resume from it
+        def embed_from(src2d):
+            # embed stage on the f32 carry: per-residue lane block
+            # src[:, r*P:(r+1)*P] @ wlat (zero pad rows) -> bf16, + the
+            # precomputed constant add (+ this step's encoder row) — same op
+            # order and roundings as the XLA twin in denoiser._flat_call
+            P = wlat_ref.shape[0]
+            wl = wlat_ref[...]
+            rows = []
+            for r in range(L):
+                hr = jax.lax.dot_general(
+                    src2d[:, r * P:(r + 1) * P].astype(dt), wl,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(dt) + cadd_ref[0][:, r * C:(r + 1) * C]
+                if has_enc:
+                    hr = hr + enc_ref[0, 0, 0:1, r * C:(r + 1) * C]
+                rows.append(hr)
+            return jnp.concatenate(rows, axis=0)
+
+        # first layer of each euler step embeds the carry into the
+        # persistent scratch: step 0 from the HBM input, later steps from
+        # the in-VMEM inter-step carry (cbuf); later programs resume from it
         @pl.when(li_s == 0)
         def _():
-            if fold_embed:
-                # embed stage on the f32 carry: per-residue lane block
-                # x[:, r*P:(r+1)*P] @ wlat (zero pad rows) -> bf16, + the
-                # precomputed constant add (+ encoder row) — same op order
-                # and roundings as the XLA twin in denoiser._flat_call
-                P = wlat_ref.shape[0]
-                wl = wlat_ref[...]
-                rows = []
-                for r in range(L):
-                    hr = jax.lax.dot_general(
-                        x_ref[0][:, r * P:(r + 1) * P].astype(dt), wl,
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    ).astype(dt) + cadd_ref[0][:, r * C:(r + 1) * C]
-                    if has_enc:
-                        hr = hr + enc_ref[0, 0:1, r * C:(r + 1) * C]
-                    rows.append(hr)
-                xbuf[...] = jnp.concatenate(rows, axis=0)
-            else:
-                xbuf[...] = restack()
+            xbuf[...] = embed_from(x_ref[0]) if fold_embed else restack()
+
+        if S_steps > 1:
+            @pl.when(jnp.logical_and(lq == 0, li_s > 0))
+            def _():
+                xbuf[...] = embed_from(cbuf[...])
 
         X = xbuf[...]
     else:
@@ -453,11 +466,11 @@ def _kernel(x_ref, mod_ref, *refs, num_heads: int, head_dim: int, channels: int,
       X = OUT.astype(dt)
 
     if NLt:
-        @pl.when(li_s < NLt - 1)
+        @pl.when(lq < NLt - 1)
         def _(X=X):
             xbuf[...] = X
 
-        @pl.when(li_s == NLt - 1)
+        @pl.when(lq == NLt - 1)
         def _(X=X):
             if fold_final:
                 # folded output head (bit-identical to models.layers.
@@ -467,24 +480,52 @@ def _kernel(x_ref, mod_ref, *refs, num_heads: int, head_dim: int, channels: int,
                 mean = jnp.mean(x32, axis=1, keepdims=True)
                 var = jnp.mean(x32 * x32, axis=1, keepdims=True) - mean * mean
                 hn = ((x32 - mean) * jax.lax.rsqrt(var + _LN_EPS)).astype(dt)
-                shf = modf_ref[0, 0:1, :].astype(dt)
-                scf = modf_ref[0, 1:2, :].astype(dt)
+                shf = modf_ref[0, 0, 0:1, :].astype(dt)
+                scf = modf_ref[0, 0, 1:2, :].astype(dt)
                 hn = hn * (1 + scf) + shf
                 y = jax.lax.dot_general(
                     hn, wfin_ref[...].astype(dt), (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 ).astype(dt) + bfin_ref[...].astype(dt)
                 OPL = wfin_ref.shape[1]
-                for r in range(L):
-                    if step_dt is not None:
+                if step_dt is None:
+                    for r in range(L):
+                        o_ref[0, :, r * OPL:(r + 1) * OPL] = blk(y, r).astype(o_ref.dtype)
+                elif S_steps == 1:
+                    for r in range(L):
                         # folded euler update: out = carry + dt * velocity
                         # (identical to the sampler's xc + dt * v — v is the
                         # f32-cast bf16 head output either way)
                         o_ref[0, :, r * OPL:(r + 1) * OPL] = (
                             x_ref[0][:, r * OPL:(r + 1) * OPL]
                             + step_dt * blk(y, r).astype(jnp.float32))
-                    else:
-                        o_ref[0, :, r * OPL:(r + 1) * OPL] = blk(y, r).astype(o_ref.dtype)
+                else:
+                    # multi-step fold: the euler update lands in the in-VMEM
+                    # inter-step carry (cbuf) until the last step, which
+                    # emits to HBM — the carry of an S-step group never
+                    # leaves the chip
+                    @pl.when(li_s == NLt - 1)  # step 0: base = HBM input
+                    def _(y=y):
+                        for r in range(L):
+                            cbuf[:, r * OPL:(r + 1) * OPL] = (
+                                x_ref[0][:, r * OPL:(r + 1) * OPL]
+                                + step_dt * blk(y, r).astype(jnp.float32))
+
+                    if S_steps > 2:
+                        @pl.when(jnp.logical_and(li_s > NLt - 1,
+                                                 li_s < S_steps * NLt - 1))
+                        def _(y=y):
+                            for r in range(L):
+                                cbuf[:, r * OPL:(r + 1) * OPL] = (
+                                    cbuf[:, r * OPL:(r + 1) * OPL]
+                                    + step_dt * blk(y, r).astype(jnp.float32))
+
+                    @pl.when(li_s == S_steps * NLt - 1)  # last step -> HBM
+                    def _(y=y):
+                        for r in range(L):
+                            o_ref[0, :, r * OPL:(r + 1) * OPL] = (
+                                cbuf[:, r * OPL:(r + 1) * OPL]
+                                + step_dt * blk(y, r).astype(jnp.float32))
             else:
                 for r in range(L):
                     o_ref[0, :, r * C:(r + 1) * C] = blk(X, r).astype(o_ref.dtype)
@@ -538,7 +579,7 @@ def make_trunk_biases(mask, T: int, L: int, C: int, stages: str = "123"):
 def _trunk_call(x, mods, ws, mask, num_heads: int, T: int, L: int,
                 interpret: bool = False, stages: str = "123",
                 save_residuals: bool = False, final=None, embed=None,
-                step_dt=None, biases=None):
+                step_dt=None, biases=None, ode_steps: int = 1):
     """One pallas_call over ``NL`` layers. ``x`` (B, Tp, L*C) frame-padded;
     ``mods`` (B, NL, 9C); ``ws`` = 16-tuple of NL-stacked weights in their
     original (unpadded-head) shapes. Returns the padded-trunk output, plus
@@ -556,7 +597,9 @@ def _trunk_call(x, mods, ws, mask, num_heads: int, T: int, L: int,
         LC = x.shape[2]
         cdt = x.dtype
     C = LC // L
-    NL = mods.shape[1] // (9 * C) if mods.ndim == 2 else mods.shape[1]
+    NL = ws[0].shape[0]
+    SS = ode_steps
+    assert mods.size == x.shape[0] * SS * NL * 9 * C
     (wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_t, bout_t,
      w1, b1, w2, b2, bkl, bvl, bkt, bvt) = ws
     D = C // num_heads
@@ -642,18 +685,21 @@ def _trunk_call(x, mods, ws, mask, num_heads: int, T: int, L: int,
         return pl.BlockSpec(shape, lambda b, *g, _n=n: (b,) + (0,) * _n)
 
     if stream:
-        # streaming trunk: grid (B, NL) — program (b, i) pulls layer i's
-        # weights through its BlockSpec (double-buffered against compute)
-        # while the activation persists in VMEM scratch across i
+        # streaming trunk: grid (B, S*NL) — program (b, i) runs euler step
+        # i // NL, layer i % NL, pulling that layer's weights through its
+        # BlockSpec (double-buffered against compute) while the activation
+        # persists in VMEM scratch across i
         def wspec(shape):
             n = len(shape)
-            return pl.BlockSpec((1,) + shape, lambda b, i, _n=n: (i,) + (0,) * _n)
+            return pl.BlockSpec((1,) + shape,
+                                lambda b, i, _n=n: (i % NL,) + (0,) * _n)
 
         mod_spec = pl.BlockSpec((1, 1, 9, C), lambda b, i: (b, i, 0, 0))
-        grid = (B, NL)
-        kernel_kw = dict(num_layers=1, stream_layers=NL)
+        grid = (B, SS * NL)
+        kernel_kw = dict(num_layers=1, stream_layers=NL, ode_steps=SS)
         scratch = [pltpu.VMEM((Tp_rows, C), cdt)]
     else:
+        assert SS == 1
         def wspec(shape):
             return rep((NL,) + shape)
 
@@ -667,6 +713,8 @@ def _trunk_call(x, mods, ws, mask, num_heads: int, T: int, L: int,
     assert embed is None or (stream and not save_residuals), \
         "embed folding is the inference scan fast path (streaming trunk only)"
     assert step_dt is None or (embed is not None and final is not None)
+    assert SS == 1 or step_dt is not None, \
+        "multi-step fold is the euler fast path (needs embed + final + dt)"
     emb_inputs, emb_specs = (), ()
     x_spec = bat((1, Tp, L * C))
     if embed is not None:
@@ -676,19 +724,28 @@ def _trunk_call(x, mods, ws, mask, num_heads: int, T: int, L: int,
         emb_inputs = (wlat_p, cadd)
         emb_specs = (rep((P, C)), bat((1, Tp, L * C)))
         if enc is not None:
-            emb_inputs += (enc.reshape(B, 1, L * C),)
-            emb_specs += (bat((1, 1, L * C)),)
+            # per-STEP encoder rows: (B, S, 1, L*C) — program (b, i) reads
+            # step i // NL's row (4D so the block's last two dims satisfy
+            # the TPU 8/128-or-full rule)
+            emb_inputs += (enc.reshape(B, SS, 1, L * C),)
+            emb_specs += (pl.BlockSpec((1, 1, 1, L * C),
+                                       lambda b, i: (b, i // NL, 0, 0)),)
     fin_inputs, fin_specs = (), ()
     if final is not None:
         modf, wfin, bfin = final
         OUTC = wfin.shape[1]
         OP = -(-OUTC // 128) * 128
+        assert SS == 1 or embed[0].shape[0] == OP, \
+            "inter-step carry: the head's lane width must equal the embed's"
         wfin_p = jnp.pad(wfin, ((0, 0), (0, OP - OUTC)))
         bfin_p = jnp.pad(bfin.reshape(1, -1), ((0, 0), (0, OP - OUTC)))
-        fin_inputs = (modf.reshape(B, 2, C), wfin_p, bfin_p)
-        fin_specs = (bat((1, 2, C)), rep((C, OP)), rep((1, OP)))
+        fin_inputs = (modf.reshape(B, SS, 2, C), wfin_p, bfin_p)
+        fin_specs = (pl.BlockSpec((1, 1, 2, C), lambda b, i: (b, i // NL, 0, 0)),
+                     rep((C, OP)), rep((1, OP)))
         out_specs = bat((1, Tp, L * OP))
         out_shape = jax.ShapeDtypeStruct((B, Tp, L * OP), jnp.float32)
+        if SS > 1:
+            scratch = scratch + [pltpu.VMEM((Tp, L * OP), jnp.float32)]
     else:
         out_specs = bat((1, Tp, L * C))
         out_shape = jax.ShapeDtypeStruct((B, Tp, L * C), cdt)
@@ -765,7 +822,8 @@ def _trunk_call(x, mods, ws, mask, num_heads: int, T: int, L: int,
         # default 16M scoped cap; lift it (128M physical)
         **({"compiler_params": pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024)} if NL > 1 else {}),
-    )(x, mods.reshape(B, NL, 9, C), *fin_inputs, *emb_inputs,
+    )(x, mods.reshape(B, SS * NL, 9, C) if stream else mods.reshape(B, NL, 9, C),
+      *fin_inputs, *emb_inputs,
       wqkv_l, bqkv_l.reshape(NL, 1, 3 * C), wout_l, bout_l.reshape(NL, 1, C),
       wqkv_t_p, bqkv_t_p, wout_t_p, bout_t.reshape(NL, 1, C),
       w1, b1.reshape(NL, 1, F), w2, b2.reshape(NL, 1, C),
@@ -1186,7 +1244,8 @@ def _embed_xla(xc, wlat_p, cadd, enc, L: int, C: int):
 
 def fused_trunk(x, mods, ws, mask, *, num_heads: int, tl: tuple,
                 force_xla: bool = False, force_pallas: bool = False,
-                final=None, embed=None, step_dt=None, biases=None):
+                final=None, embed=None, step_dt=None, biases=None,
+                ode_steps: int = 1):
     """The ENTIRE trunk (all LatentMDGenLayers) as one op. x (B, Tp, L*C)
     frame-padded trunk; mods (B, NL*9C) — every layer's AdaLN output; ``ws``
     a 16-tuple of NL-stacked weights in fused_layer's argument order
@@ -1199,7 +1258,13 @@ def fused_trunk(x, mods, ws, mask, *, num_heads: int, tl: tuple,
     FinalLayer output head into the kernel's last program — the f32 LN /
     modulate / projection never materialize on the full trunk in HBM — and
     the return becomes the latent in (B, Tp, L*OP) f32 (OP = out padded to
-    128 lanes). Reference trunk loop: src/mdgen/model/latent_model.py:456-493."""
+    128 lanes). Reference trunk loop: src/mdgen/model/latent_model.py:456-493.
+
+    ``ode_steps = S > 1`` (with embed + final + step_dt): S euler steps in
+    ONE pallas_call — grid (B, S*NL), the inter-step carry lives in a VMEM
+    scratch and never touches HBM, and the per-step scan/dispatch overhead
+    amortizes S-fold. ``mods`` (B, S*NL*9C), ``modf`` (B, S, 2C), ``enc``
+    (B, S, L*C). Bitwise equal to S successive single-step calls."""
     import os
 
     from ..parallel.kernel_sharding import get_kernel_mesh, shard_map_batch0
@@ -1208,6 +1273,8 @@ def fused_trunk(x, mods, ws, mask, *, num_heads: int, tl: tuple,
     NL = ws[0].shape[0]
     C = (embed[1].shape[2] if embed is not None else x.shape[2]) // L
     assert embed is None or final is not None, "embed folding needs the folded head"
+    assert ode_steps == 1 or (embed is not None and step_dt is not None), \
+        "multi-step fold is the euler fast path (embed + final + dt)"
     env = os.environ.get("MDGEN_FUSED_LAYER", "")
     force_xla = force_xla or env == "xla"
     force_pallas = force_pallas or env == "pallas"
@@ -1243,20 +1310,34 @@ def fused_trunk(x, mods, ws, mask, *, num_heads: int, tl: tuple,
     def per_layer(x_, mods_, *rest):
         fin_, emb_, ws_, mask_, _ = split_rest(rest)
         ws_ = unpad_stage2_ws(ws_, num_heads)  # fused_layer takes raw
-        h = _embed_xla(x_, emb_[0], emb_[1], emb_[2], L, C) if emb_ is not None else x_
-        for i in range(NL):
-            h = fused_layer(h, mods_[:, i * 9 * C:(i + 1) * 9 * C],
-                            *(w[i] for w in ws_), mask_,
-                            num_heads=num_heads, tl=(T, L),
-                            force_xla=force_xla, padded_io=True)
-        if fin_ is not None:
-            out = _trunk_final_xla(h, *fin_, T, L, C)
-            if step_dt is not None:
-                # pad rows differ from the kernel fold (the XLA head zeroes
-                # them before the axpy) — no valid output reads them
-                out = x_ + step_dt * out
-            return out
-        return h
+        B_ = x_.shape[0]
+        xc = x_
+        for s in range(ode_steps):
+            if emb_ is not None:
+                enc_s = None
+                if emb_[2] is not None:
+                    enc_s = (emb_[2].reshape(B_, ode_steps, -1)[:, s]
+                             if ode_steps > 1 else emb_[2])
+                h = _embed_xla(xc, emb_[0], emb_[1], enc_s, L, C)
+            else:
+                h = xc
+            mods_s = mods_.reshape(B_, ode_steps, NL * 9 * C)[:, s]
+            for i in range(NL):
+                h = fused_layer(h, mods_s[:, i * 9 * C:(i + 1) * 9 * C],
+                                *(w[i] for w in ws_), mask_,
+                                num_heads=num_heads, tl=(T, L),
+                                force_xla=force_xla, padded_io=True)
+            if fin_ is None:
+                return h
+            modf_s = (fin_[0].reshape(B_, ode_steps, -1)[:, s]
+                      if ode_steps > 1 else fin_[0])
+            out = _trunk_final_xla(h, modf_s, fin_[1], fin_[2], T, L, C)
+            if step_dt is None:
+                return out
+            # pad rows differ from the kernel fold (the XLA head zeroes
+            # them before the axpy) — no valid output reads them
+            xc = xc + step_dt * out
+        return xc
 
     fin_args = tuple(final) if final is not None else ()
 
@@ -1270,7 +1351,8 @@ def fused_trunk(x, mods, ws, mask, *, num_heads: int, tl: tuple,
                 # directly (training uses the plain trunk + XLA embed)
                 return _trunk_call(x_, mods_, ws_, mask_, num_heads, T, L,
                                    interpret=interp, final=fin_, embed=emb_,
-                                   step_dt=step_dt, biases=biases_)
+                                   step_dt=step_dt, biases=biases_,
+                                   ode_steps=ode_steps)
             return _fused_trunk_pallas(x_, mods_, ws_, fin_, mask_,
                                        num_heads, T, L, interp)
 

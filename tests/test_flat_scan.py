@@ -151,6 +151,57 @@ def test_flat_euler_chain_with_kernel_fold():
                                atol=5e-5, rtol=1e-4)
 
 
+def test_multi_step_fold_matches_single_steps():
+    """flat_euler_steps (S steps in ONE fused-trunk call, the inter-step
+    carry in VMEM) == S successive single-step folded calls, exactly on the
+    valid region — both on the XLA per-layer fallback and the interpret-mode
+    mega-kernel (MDGEN_FUSED_LAYER=pallas)."""
+    import os
+
+    model, cfg = _mk()
+    kw = _inputs(cfg, seed=3)
+    B, T, L = kw["mask"].shape
+    lat = cfg.latent_dim
+    P = -(-lat // 128) * 128
+    params = jax.jit(model.init)(jax.random.key(0), **kw)
+    consts = model.apply(params, kw["x_cond"], kw["x_cond_mask"], kw["mask"],
+                         aatype=kw["aatype"], start_frames=kw["start_frames"],
+                         end_frames=kw["end_frames"],
+                         method=model.make_scan_consts)
+    pack = model.apply(params, method=model.make_trunk_pack)
+    ts = [0.15, 0.45, 0.75]
+    dt = 0.3
+
+    def single_chain():
+        xf = latent_to_flat(kw["x"], P)
+        for tv in ts:
+            xf = model.apply(params, xf, jnp.full((B,), tv), kw["mask"],
+                             start_frames=kw["start_frames"],
+                             end_frames=kw["end_frames"], aatype=kw["aatype"],
+                             trunk_pack=pack, scan_consts=consts, ode_dt=dt)
+        return flat_to_latent(xf, T, L, lat)
+
+    def multi_call():
+        xf = latent_to_flat(kw["x"], P)
+        tgrid = jnp.asarray(ts, jnp.float32)[:, None] * jnp.ones((1, B), jnp.float32)
+        out = model.apply(params, xf, tgrid, kw["mask"], consts, pack,
+                          start_frames=kw["start_frames"],
+                          end_frames=kw["end_frames"], aatype=kw["aatype"],
+                          ode_dt=dt, method=model.flat_euler_steps)
+        return flat_to_latent(out, T, L, lat)
+
+    ref = np.asarray(single_chain())
+    np.testing.assert_allclose(np.asarray(multi_call()), ref, atol=2e-5, rtol=1e-4)
+
+    os.environ["MDGEN_FUSED_LAYER"] = "pallas"  # interpret-mode mega-kernel
+    try:
+        got = np.asarray(multi_call())
+        ref_k = np.asarray(single_chain())
+    finally:
+        del os.environ["MDGEN_FUSED_LAYER"]
+    np.testing.assert_allclose(got, ref_k, atol=2e-5, rtol=1e-4)
+
+
 def test_flat_scan_ok_gating():
     _, cfg = _mk()
     assert LatentMDGen.flat_scan_ok(cfg)

