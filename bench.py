@@ -73,18 +73,20 @@ def main():
                              method=model.make_scan_consts)
         ts = jnp.linspace(0.05, 0.95, N_STEPS)[:, None] * jnp.ones((1, B), jnp.float32)
         # the whole t-embedder chain precomputed in one batched call (the t
-        # grid is known before the scan) and fed per step via scan xs
+        # grid is known before the scan) and fed per step via scan xs; with
+        # t_emb given, the t argument itself is unused by the fast path — a
+        # loop-invariant dummy avoids a per-step ts slice
         tembs = model.apply(params, ts, method=model.embed_times)
+        t_dummy = jnp.zeros((B,), jnp.float32)
 
-        def step(xc, xs_row):
-            tk, te = xs_row
+        def step(xc, te):
             return model.apply(
-                params, xc, tk, mask, start_frames=frames, end_frames=frames,
+                params, xc, t_dummy, mask, start_frames=frames, end_frames=frames,
                 aatype=aatype, trunk_pack=pack, scan_consts=consts, ode_dt=dt,
                 t_emb=te,
             ), ()
 
-        xT, _ = jax.lax.scan(step, latent_to_flat(x0, P), (ts, tembs))
+        xT, _ = jax.lax.scan(step, latent_to_flat(x0, P), tembs)
         return flat_to_latent(xT, T, L, cfg.latent_dim)
 
     euler_chain(params, x).block_until_ready()  # compile

@@ -167,20 +167,21 @@ class InferenceEngine:
             dt = (t1 - t0) / n
             ts = t0 + dt * jnp.arange(n, dtype=zs.dtype)
             # the whole t-embedder chain in ONE batched call (the t grid is
-            # known before the scan); rows broadcast to (B, C) per step
+            # known before the scan); rows broadcast to (B, C) per step. With
+            # t_emb supplied the t argument is unused by the fast path — a
+            # loop-invariant dummy avoids a per-step ts slice
             tembs = self.model.apply(params, ts, method=self.model.embed_times)
             P = -(-cfg.latent_dim // 128) * 128
+            t_dummy = jnp.zeros((B,), zs.dtype)
 
-            def step(xc, xs_row):
-                tk, te = xs_row
-                tv = jnp.full((B,), tk, zs.dtype)
+            def step(xc, te):
                 return self.model.apply(
-                    params, xc, tv, kw["mask"],
+                    params, xc, t_dummy, kw["mask"],
                     start_frames=kw.get("start_frames"), end_frames=kw.get("end_frames"),
                     aatype=kw.get("aatype"), trunk_pack=pack, scan_consts=consts,
                     ode_dt=dt, t_emb=jnp.broadcast_to(te[None], (B, te.shape[-1]))), None
 
-            xT, _ = jax.lax.scan(step, latent_to_flat(zs, P), (ts, tembs))
+            xT, _ = jax.lax.scan(step, latent_to_flat(zs, P), tembs)
             samples = flat_to_latent(xT, T, L, cfg.latent_dim)
             return self._decode(samples, prep.get("rigids"), batch["seqres"])
 

@@ -906,11 +906,12 @@ def _layer_kernels(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_
     """Modular composition routing each stage through its kernel dispatcher —
     the TPU path for shapes the whole-layer kernel cannot hold in VMEM
     (T > MAX_T flagship forward-sim T=1000, large-L ATLAS crop-256). Same
-    math as _layer_xla; the residue/frame attention cores engage their
-    Pallas kernels where their own gates allow."""
+    math as _layer_xla; each stage engages its fused-block / blocked-core
+    Pallas kernel where its own gates allow."""
     from .adaln_mlp import adaln_mlp
+    from .residue_attention import MAX_L as RES_MAX_L
     from .residue_attention import residue_attention
-    from .time_attention import _block_dispatch
+    from .time_attention import time_attention_block
 
     B, N, C = x.shape
     modr = mod.reshape(B, 9, C)
@@ -918,21 +919,35 @@ def _layer_kernels(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_
     sh_t, sc_t, g_t = modr[:, 3], modr[:, 4], modr[:, 5]
     sh_m, sc_m, g_m = modr[:, 6], modr[:, 7], modr[:, 8]
 
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.var(x32, axis=-1, keepdims=True)
-    h = ((x32 - mean) * jax.lax.rsqrt(var + _LN_EPS)).astype(x.dtype)
-    h = h * (1 + sc_l[:, None]) + sh_l[:, None]
-    qkv = h @ wqkv_l.astype(h.dtype) + bqkv_l.astype(h.dtype)
-    q, k, v = (a.reshape(B, T, L, C) for a in
-               (qkv[..., :C], qkv[..., C:2 * C], qkv[..., 2 * C:]))
-    out = residue_attention(q, k, v, bkl, bvl, mask, num_heads=num_heads,
-                            base2=True)
-    y = out.reshape(B, N, C) @ wout_l.astype(x.dtype) + bout_l.astype(x.dtype)
-    x = x + g_l[:, None] * y
+    if L > RES_MAX_L:
+        # large L (ATLAS crop-256): residue attention IS time attention with
+        # the axes swapped — ONE activation transpose each way replaces the
+        # THREE projected-tensor transposes of the core-only routing, and
+        # the whole block (LN + modulate + qkv + attend + out-proj + gate +
+        # residual) fuses into the blocked whole-block kernel. key_valid for
+        # the swapped call is exactly mask (B, T, L): attend over L, batch T.
+        xs = x.reshape(B, T, L, C).transpose(0, 2, 1, 3).reshape(B, L * T, C)
+        xs = time_attention_block(xs, sh_l, sc_l, g_l, wqkv_l, bqkv_l, wout_l,
+                                  bout_l, bkl, bvl, mask,
+                                  num_heads=num_heads, tl=(L, T))
+        x = xs.reshape(B, L, T, C).transpose(0, 2, 1, 3).reshape(B, N, C)
+    else:
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.var(x32, axis=-1, keepdims=True)
+        h = ((x32 - mean) * jax.lax.rsqrt(var + _LN_EPS)).astype(x.dtype)
+        h = h * (1 + sc_l[:, None]) + sh_l[:, None]
+        qkv = h @ wqkv_l.astype(h.dtype) + bqkv_l.astype(h.dtype)
+        q, k, v = (a.reshape(B, T, L, C) for a in
+                   (qkv[..., :C], qkv[..., C:2 * C], qkv[..., 2 * C:]))
+        out = residue_attention(q, k, v, bkl, bvl, mask, num_heads=num_heads,
+                                base2=True)
+        y = out.reshape(B, N, C) @ wout_l.astype(x.dtype) + bout_l.astype(x.dtype)
+        x = x + g_l[:, None] * y
 
-    x = _block_dispatch(x, sh_t, sc_t, g_t, wqkv_t, bqkv_t, wout_t, bout_t, bkt, bvt,
-                        mask.transpose(0, 2, 1), num_heads, T, L)
+    x = time_attention_block(x, sh_t, sc_t, g_t, wqkv_t, bqkv_t, wout_t, bout_t,
+                             bkt, bvt, mask.transpose(0, 2, 1),
+                             num_heads=num_heads, tl=(T, L))
 
     return adaln_mlp(x, sh_m, sc_m, g_m, w1, b1, w2, b2)
 

@@ -406,6 +406,178 @@ def _pallas_fwd_blocked(q, k, v, bias_k, bias_v, key_valid, num_heads: int,
     return out[:, :T].reshape(B, T, L, C)
 
 
+def _block_kernel_blocked(x_ref, sh_ref, sc_ref, g_ref, wqkv_ref, bqkv_ref,
+                          wout_ref, bout_ref, bk_ref, bv_ref, bias_ref,
+                          cos_ref, sin_ref, fh_ref, o_ref, *,
+                          num_heads: int, head_dim: int, tq: int, kq: int):
+    """Blocked whole-BLOCK variant for long T / large L: grid (B, L), one
+    (batch element, residue) per program — LN (f32 lane stats) + AdaLN
+    modulate + qkv projection (weights resident in VMEM) + RoPE + full-K/V
+    grouped-stack attention with an internal query-block loop +
+    out-projection + gate + residual. Nothing but the raw activation slice
+    crosses HBM: the host-side Tp pads, projected-tensor materializations,
+    bias-KV concats, and f32 LN converts of the modular composition all
+    disappear (r3: ATLAS forward profile showed ~10 ms/fwd of exactly this
+    glue). ``kq`` = key rows (the 8-aligned T); query rows may be padded
+    further to a tq multiple (outputs sliced by the host)."""
+    H, D = num_heads, head_dim
+    Tp2, C = x_ref.shape[1], x_ref.shape[2]
+    half = D // 2
+    TK = kq + 8
+
+    fh = fh_ref[...]
+    sh = sh_ref[0].astype(jnp.float32)
+    sc = sc_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    wqkv = wqkv_ref[...]
+    bqkv = bqkv_ref[...].astype(jnp.float32)
+    wout = wout_ref[...]
+    bout = bout_ref[...].astype(jnp.float32)
+
+    def rotate_half(x32):
+        take_right = pltpu.roll(x32, C - half, 1)
+        take_left = pltpu.roll(x32, half, 1)
+        return -take_right * fh + take_left * (1 - fh)
+
+    def rope(x, n0, n):
+        cos = cos_ref[pl.ds(n0, n)].astype(jnp.float32)
+        sin = sin_ref[pl.ds(n0, n)].astype(jnp.float32)
+        x32 = x.astype(jnp.float32)
+        return (x32 * cos + rotate_half(x32) * sin).astype(x.dtype)
+
+    x = x_ref[0]  # (Tp2, C)
+    dt = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=1, keepdims=True)
+    var = jnp.mean(x32 * x32, axis=1, keepdims=True) - mean * mean
+    h = (x32 - mean) * jax.lax.rsqrt(var + _LN_EPS)
+    h = (h * (1.0 + sc) + sh).astype(dt)
+    qkv = (jax.lax.dot_general(
+        h, wqkv, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) + bqkv).astype(dt)  # (Tp2, 3C)
+
+    # keys: the first kq rows (mask bias covers the T..kq pad) + the 8-row
+    # learned bias-token block (roped at position-kq table rows)
+    bk_blk = rope(jnp.broadcast_to(bk_ref[...], (8, C)).astype(dt), kq, 8)
+    bv_blk = jnp.broadcast_to(bv_ref[...], (8, C)).astype(dt)
+    kb = jnp.concatenate([rope(qkv[0:kq, C:2 * C], 0, kq), bk_blk], axis=0)
+    kbT = kb.T  # (C, TK) — one transpose per program
+    vb = jnp.concatenate([qkv[0:kq, 2 * C:], bv_blk], axis=0)
+    bias = bias_ref[0]  # (1, TK)
+
+    for i in range(Tp2 // tq):
+        q_blk = rope(qkv[i * tq:(i + 1) * tq, :C], i * tq, tq)
+        # base2: the block family's wqkv carries scale * LOG2E (module note)
+        att = _grouped_attend(q_blk, kbT, vb, bias, H, D, base2=True)
+        y = jax.lax.dot_general(
+            att.astype(dt), wout, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bout  # (tq, C) f32
+        o_ref[0, i * tq:(i + 1) * tq] = (
+            x32[i * tq:(i + 1) * tq] + g * y).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "T", "L", "interpret"))
+def _block_pallas_fwd_blocked(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v,
+                              key_valid, num_heads: int, T: int, L: int,
+                              interpret: bool = False):
+    B, N, C = x.shape
+    D = C // num_heads
+    Tp = -(-T // 8) * 8
+    TK = Tp + 8
+
+    x = x.reshape(B, T, L * C)
+    if Tp != T:
+        x = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
+
+    bias = (key_valid.astype(jnp.float32) - 1.0) * -_NEG_INF  # (B, L, T)
+    tail = jnp.full((B, L, TK - T), _NEG_INF, jnp.float32)
+    tail = tail.at[:, :, Tp - T].set(0.0)
+    bias = jnp.concatenate([bias, tail], axis=2).reshape(B * L, 1, TK)
+
+    tq = _blocked_tq(Tp, TK, C, budget=11 * 1024 * 1024)
+    Tp2 = -(-Tp // tq) * tq
+    if Tp2 != Tp:
+        x = jnp.pad(x, ((0, 0), (0, Tp2 - Tp), (0, 0)))
+
+    cos_np, sin_np, fh_np = _rope_tables_np(T + 1, D, C)
+
+    def table(base):
+        ext_q = base[list(range(T)) + [T - 1] * (Tp - T)] if Tp != T else base[:T]
+        t = np.concatenate([ext_q, np.tile(base[T:T + 1], (8, 1))], axis=0)
+        if Tp2 + 8 > TK:
+            t = np.concatenate([t, np.tile(t[-1:], (Tp2 + 8 - TK, 1))], axis=0)
+        return t
+
+    cos = jnp.asarray(table(cos_np), jnp.float32)
+    sin = jnp.asarray(table(sin_np), jnp.float32)
+    fh = jnp.asarray(fh_np, jnp.float32).reshape(1, C)
+
+    out = pl.pallas_call(
+        functools.partial(_block_kernel_blocked, num_heads=num_heads, head_dim=D,
+                          tq=tq, kq=Tp),
+        grid=(B, L),
+        in_specs=[
+            pl.BlockSpec((1, Tp2, C), lambda b, r: (b, 0, r)),
+            pl.BlockSpec((1, 1, C), lambda b, r: (b, 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda b, r: (b, 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda b, r: (b, 0, 0)),
+            pl.BlockSpec((C, 3 * C), lambda b, r: (0, 0)),
+            pl.BlockSpec((1, 3 * C), lambda b, r: (0, 0)),
+            pl.BlockSpec((C, C), lambda b, r: (0, 0)),
+            pl.BlockSpec((1, C), lambda b, r: (0, 0)),
+            pl.BlockSpec((1, C), lambda b, r: (0, 0)),
+            pl.BlockSpec((1, C), lambda b, r: (0, 0)),
+            pl.BlockSpec((1, 1, TK), lambda b, r, L=L: (b * L + r, 0, 0)),
+            pl.BlockSpec((max(TK, Tp2 + 8), C), lambda b, r: (0, 0)),
+            pl.BlockSpec((max(TK, Tp2 + 8), C), lambda b, r: (0, 0)),
+            pl.BlockSpec((1, C), lambda b, r: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, Tp2, C), lambda b, r: (b, 0, r)),
+        out_shape=jax.ShapeDtypeStruct((B, Tp2, L * C), x.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
+    )(x, sh.reshape(B, 1, C), sc.reshape(B, 1, C), g.reshape(B, 1, C),
+      wqkv, bqkv.reshape(1, 3 * C), wout, bout.reshape(1, C),
+      bias_k.reshape(1, C).astype(x.dtype), bias_v.reshape(1, C).astype(x.dtype),
+      bias, cos, sin, fh)
+    return out[:, :T].reshape(B, T * L, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14))
+def _time_block_pallas_blocked(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k,
+                               bias_v, key_valid, num_heads, T, L,
+                               interpret=False):
+    return _block_pallas_fwd_blocked(x, sh, sc, g, wqkv, bqkv, wout, bout,
+                                     bias_k, bias_v, key_valid, num_heads, T, L,
+                                     interpret=interpret)
+
+
+def _tbb_fwd(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v, key_valid,
+             num_heads, T, L, interpret):
+    res = (x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v, key_valid)
+    return _block_pallas_fwd_blocked(x, sh, sc, g, wqkv, bqkv, wout, bout,
+                                     bias_k, bias_v, key_valid, num_heads, T, L,
+                                     interpret=interpret), res
+
+
+def _tbb_bwd(num_heads, T, L, interpret, res, grad):
+    from .fused_attention import fused_attention
+
+    # route the backward's attention core through the flash kernel so long-T
+    # differentiation never materializes (B*L*H, T, T) logits (same pattern
+    # as _ta_bwd)
+    att = lambda q, k, v, bk, bv, kv, H: _xla_impl(
+        q, k, v, bk, bv, kv, H,
+        attend=functools.partial(fused_attention, base2=True))
+    _, vjp = jax.vjp(lambda *a: _block_xla(*a, num_heads, T, L, attend=att), *res)
+    grads = vjp(grad)
+    return grads[:10] + (None,)
+
+
+_time_block_pallas_blocked.defvjp(_tbb_fwd, _tbb_bwd)
+
+
 def _blocked_vmem_fixed(Tp: int, TK: int, C: int) -> int:
     """Per-program resident bytes independent of the query-block size: the
     full q and out slices (double-buffered bf16), kb/vb (double-buffered),
@@ -790,23 +962,43 @@ def time_attention_block(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v,
         not force_xla and on_tpu and C % 128 == 0 and L <= MAX_L and T <= MAX_T
     )
     args = (x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v, key_valid)
+    interp = not on_tpu
+    batched = (True, True, True, True, False, False, False, False, False, False, True)
+    multi = jax.device_count() > 1 or get_kernel_mesh() is not None
     if use_pallas:
-        interp = not on_tpu
-
         def local(x, sh, sc, g, wqkv, bqkv, wout, bout, bk, bv, kv):
             return _time_block_pallas(x, sh, sc, g, wqkv, bqkv, wout, bout,
                                       bk, bv, kv, num_heads, T, L, interp)
 
-        batched = (True, True, True, True, False, False, False, False, False, False, True)
-        if jax.device_count() > 1 or get_kernel_mesh() is not None:
+        if multi:
             out = shard_map_batch0(local, batched, *args)
             if out is not None:
                 return out
             if not force_pallas:
                 return _block_xla(*args, num_heads, T, L)
         return local(*args)
+    use_blocked = env == "blocked" or (
+        not force_xla and on_tpu and C % 128 == 0 and (L > MAX_L or T > MAX_T)
+        and _blocked_fits(T, C) and env != "dispatch")
+    if use_blocked:
+        # blocked whole-block kernel (grid (B, L), internal query-block
+        # loop): the modular composition's per-layer pads / projected-tensor
+        # materializations / f32 LN converts never leave VMEM — ATLAS fwd
+        # 38.3 -> see PERF.md r3
+        def local_b(x, sh, sc, g, wqkv, bqkv, wout, bout, bk, bv, kv):
+            return _time_block_pallas_blocked(x, sh, sc, g, wqkv, bqkv, wout,
+                                              bout, bk, bv, kv, num_heads, T, L,
+                                              interp)
+
+        if multi:
+            out = shard_map_batch0(local_b, batched, *args)
+            if out is not None:
+                return out
+            if not force_pallas:
+                return _block_dispatch(*args, num_heads, T, L)
+        return local_b(*args)
     if on_tpu and not force_xla:
-        # fused block ineligible (long T / large L): still route the
-        # attention core through the kernel dispatcher
+        # fused block ineligible: still route the attention core through the
+        # kernel dispatcher
         return _block_dispatch(*args, num_heads, T, L)
     return _block_xla(*args, num_heads, T, L)

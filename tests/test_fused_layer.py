@@ -58,3 +58,30 @@ def test_fused_layer_padded_head_layout():
     ref = _layer_xla(x, mod, *a.values(), mask, H, *tl)
     got = _pallas_fwd(x, mod, *a.values(), mask, H, *tl, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-3)
+
+
+def test_layer_kernels_swap_routing_matches_xla():
+    """_layer_kernels at large L routes the residue stage through
+    time_attention_block with the axes swapped (ONE activation transpose
+    each way); on CPU every core falls back to its XLA twin, so this pins
+    the ROUTING (transposes, key_valid orientation, mods wiring) against
+    _layer_xla exactly."""
+    from mdgen_finetune_tpu.ops.fused_layer import _layer_kernels, _layer_xla
+
+    rng = np.random.default_rng(11)
+    B, T, L, C, H = 2, 8, 16, 32, 4  # L > residue MAX_L -> swap route
+    N = T * L
+    r = lambda *s, sc=0.2: jnp.asarray(rng.normal(size=s), jnp.float32) * sc
+    x = r(B, N, C, sc=0.5)
+    mod = r(B, 9 * C)
+    ws = [r(C, 3 * C), r(3 * C), r(C, C), r(C),
+          r(C, 3 * C), r(3 * C), r(C, C), r(C),
+          r(C, 4 * C), r(4 * C), r(4 * C, C), r(C),
+          r(1, 1, C), r(1, 1, C), r(1, 1, C), r(1, 1, C)]
+    mask = jnp.asarray(rng.integers(0, 2, size=(B, T, L)), jnp.float32)
+    mask = mask.at[:, :, 0].set(1.0).at[:, 0, :].set(1.0)
+
+    ref = _layer_xla(x, mod, *ws, mask, H, T, L)
+    got = _layer_kernels(x, mod, *ws, mask, H, T, L)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=3e-5, rtol=1e-4)

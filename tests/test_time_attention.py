@@ -95,3 +95,42 @@ def test_fused_block_matches_xla_composition():
     got = _block_pallas_fwd(x, sh, sc, g, wqkv, bqkv, wout, bout, bk, bv, mask,
                             H, T, L, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5, rtol=1e-4)
+
+
+def test_blocked_fused_block_matches_xla_composition():
+    """Blocked whole-block kernel (grid (B, L), LN+mod+qkv+attend+out-proj+
+    gate in-kernel — the large-L/long-T path): parity with _block_xla, plus
+    gradient flow through its custom VJP."""
+    from mdgen_finetune_tpu.ops.time_attention import (
+        _block_pallas_fwd_blocked, _block_xla, _time_block_pallas_blocked)
+
+    rng = np.random.default_rng(7)
+    B, T, L, C, H = 2, 24, 3, 32, 4
+    N = T * L
+    x = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32) * 0.5
+    sh = jnp.asarray(rng.normal(size=(B, C)), jnp.float32) * 0.2
+    sc = jnp.asarray(rng.normal(size=(B, C)), jnp.float32) * 0.2
+    g = jnp.asarray(rng.normal(size=(B, C)), jnp.float32) * 0.5
+    wqkv = jnp.asarray(rng.normal(size=(C, 3 * C)), jnp.float32) * 0.1
+    bqkv = jnp.asarray(rng.normal(size=(3 * C,)), jnp.float32) * 0.05
+    wout = jnp.asarray(rng.normal(size=(C, C)), jnp.float32) * 0.1
+    bout = jnp.asarray(rng.normal(size=(C,)), jnp.float32) * 0.05
+    bk = jnp.asarray(rng.normal(size=(1, 1, C)), jnp.float32) * 0.1
+    bv = jnp.asarray(rng.normal(size=(1, 1, C)), jnp.float32) * 0.1
+    mask = jnp.asarray(rng.integers(0, 2, size=(B, L, T)), jnp.float32).at[:, :, 0].set(1.0)
+
+    ref = _block_xla(x, sh, sc, g, wqkv, bqkv, wout, bout, bk, bv, mask, H, T, L)
+    got = _block_pallas_fwd_blocked(x, sh, sc, g, wqkv, bqkv, wout, bout, bk, bv,
+                                    mask, H, T, L, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5, rtol=1e-4)
+
+    def loss(x, wqkv, g):
+        return jnp.sum(_time_block_pallas_blocked(
+            x, sh, sc, g, wqkv, bqkv, wout, bout, bk, bv, mask, H, T, L, True) ** 2)
+
+    gx, gw, gg = jax.grad(loss, argnums=(0, 1, 2))(x, wqkv, g)
+    rl = jax.grad(lambda x, w, g: jnp.sum(_block_xla(
+        x, sh, sc, g, wqkv if False else w, bqkv, wout, bout, bk, bv, mask, H, T, L) ** 2),
+        argnums=(0, 1, 2))(x, wqkv, g)
+    for a, b in zip((gx, gw, gg), rl):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-3)
