@@ -197,3 +197,44 @@ def test_ipa_encoder_shard_map_matches_twin():
     gt = jax.grad(lambda *a: jnp.sum(run_twin(*a) ** 2), argnums=(0, 1, 4))(x, mods, *ws)
     for a, b in zip(gm, gt):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3, rtol=1e-3)
+
+
+def test_blocked_block_shard_map_matches_xla():
+    """The blocked whole-block kernel (large-L/long-T fused block, r3) under
+    the dp x sp mesh: forward and gradients vs the XLA composition."""
+    import os
+
+    from mdgen_finetune_tpu.ops.time_attention import _block_xla, time_attention_block
+
+    rng = np.random.default_rng(23)
+    B, T, L, C, H = 8, 24, 12, 32, 4  # L > MAX_L: the blocked branch's home
+    N = T * L
+    r = lambda *s, sc=0.2: jnp.asarray(rng.normal(size=s), jnp.float32) * sc
+    x = r(B, N, C, sc=0.5)
+    sh, sc_, g = r(B, C), r(B, C), r(B, C, sc=0.5)
+    wqkv, bqkv = r(C, 3 * C, sc=0.1), r(3 * C, sc=0.05)
+    wout, bout = r(C, C, sc=0.1), r(C, sc=0.05)
+    bk, bv = r(1, 1, C, sc=0.1), r(1, 1, C, sc=0.1)
+    kv = jnp.asarray(rng.integers(0, 2, size=(B, L, T)), jnp.float32).at[:, :, 0].set(1.0)
+
+    args = (x, sh, sc_, g, wqkv, bqkv, wout, bout, bk, bv, kv)
+    ref = _block_xla(*args, H, T, L)
+    mesh = make_mesh(4, 2)
+    os.environ["MDGEN_TIME_BLOCK"] = "blocked"
+    try:
+        with kernel_mesh(mesh):
+            got = time_attention_block(*args, num_heads=H, tl=(T, L))
+            gx, gw = jax.grad(
+                lambda x_, w_: jnp.sum(time_attention_block(
+                    x_, sh, sc_, g, w_, bqkv, wout, bout, bk, bv, kv,
+                    num_heads=H, tl=(T, L)) ** 2),
+                argnums=(0, 1))(x, wqkv)
+    finally:
+        del os.environ["MDGEN_TIME_BLOCK"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5, rtol=1e-4)
+    rx, rw = jax.grad(
+        lambda x_, w_: jnp.sum(_block_xla(
+            x_, sh, sc_, g, w_, bqkv, wout, bout, bk, bv, kv, H, T, L) ** 2),
+        argnums=(0, 1))(x, wqkv)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), atol=5e-5, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), atol=5e-5, rtol=1e-3)
