@@ -409,7 +409,8 @@ def _pallas_fwd_blocked(q, k, v, bias_k, bias_v, key_valid, num_heads: int,
 def _block_kernel_blocked(x_ref, sh_ref, sc_ref, g_ref, wqkv_ref, bqkv_ref,
                           wout_ref, bout_ref, bk_ref, bv_ref, bias_ref,
                           cos_ref, sin_ref, fh_ref, o_ref, *,
-                          num_heads: int, head_dim: int, tq: int, kq: int):
+                          num_heads: int, head_dim: int, tq: int, kq: int,
+                          pad_dim: int = 0):
     """Blocked whole-BLOCK variant for long T / large L: grid (B, L), one
     (batch element, residue) per program — LN (f32 lane stats) + AdaLN
     modulate + qkv projection (weights resident in VMEM) + RoPE + full-K/V
@@ -424,8 +425,15 @@ def _block_kernel_blocked(x_ref, sh_ref, sc_ref, g_ref, wqkv_ref, bqkv_ref,
     Tp2, C = x_ref.shape[1], x_ref.shape[2]
     half = D // 2
     TK = kq + 8
+    # lane-PADDED head layout (pad_dim = Dp > D, e.g. 32 for D = 24): the
+    # projections arrive pre-padded from the host (zero pad lanes/rows) so
+    # every grouped-stack core matmul runs on exact 128-lane tiles — the
+    # same trade the trunk kernel adopted (PERF.md: alignment beats the
+    # padded-projection flops at D = 24)
+    Dp = pad_dim or D
+    Cp = H * Dp
 
-    fh = fh_ref[...]
+    fh = fh_ref[...]  # (1, Cp) — zero on pad lanes when padded
     sh = sh_ref[0].astype(jnp.float32)
     sc = sc_ref[0].astype(jnp.float32)
     g = g_ref[0].astype(jnp.float32)
@@ -435,7 +443,7 @@ def _block_kernel_blocked(x_ref, sh_ref, sc_ref, g_ref, wqkv_ref, bqkv_ref,
     bout = bout_ref[...].astype(jnp.float32)
 
     def rotate_half(x32):
-        take_right = pltpu.roll(x32, C - half, 1)
+        take_right = pltpu.roll(x32, Cp - half, 1)
         take_left = pltpu.roll(x32, half, 1)
         return -take_right * fh + take_left * (1 - fh)
 
@@ -454,21 +462,21 @@ def _block_kernel_blocked(x_ref, sh_ref, sc_ref, g_ref, wqkv_ref, bqkv_ref,
     h = (h * (1.0 + sc) + sh).astype(dt)
     qkv = (jax.lax.dot_general(
         h, wqkv, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) + bqkv).astype(dt)  # (Tp2, 3C)
+    ) + bqkv).astype(dt)  # (Tp2, 3Cp)
 
     # keys: the first kq rows (mask bias covers the T..kq pad) + the 8-row
     # learned bias-token block (roped at position-kq table rows)
-    bk_blk = rope(jnp.broadcast_to(bk_ref[...], (8, C)).astype(dt), kq, 8)
-    bv_blk = jnp.broadcast_to(bv_ref[...], (8, C)).astype(dt)
-    kb = jnp.concatenate([rope(qkv[0:kq, C:2 * C], 0, kq), bk_blk], axis=0)
-    kbT = kb.T  # (C, TK) — one transpose per program
-    vb = jnp.concatenate([qkv[0:kq, 2 * C:], bv_blk], axis=0)
+    bk_blk = rope(jnp.broadcast_to(bk_ref[...], (8, Cp)).astype(dt), kq, 8)
+    bv_blk = jnp.broadcast_to(bv_ref[...], (8, Cp)).astype(dt)
+    kb = jnp.concatenate([rope(qkv[0:kq, Cp:2 * Cp], 0, kq), bk_blk], axis=0)
+    kbT = kb.T  # (Cp, TK) — one transpose per program
+    vb = jnp.concatenate([qkv[0:kq, 2 * Cp:], bv_blk], axis=0)
     bias = bias_ref[0]  # (1, TK)
 
     for i in range(Tp2 // tq):
-        q_blk = rope(qkv[i * tq:(i + 1) * tq, :C], i * tq, tq)
+        q_blk = rope(qkv[i * tq:(i + 1) * tq, :Cp], i * tq, tq)
         # base2: the block family's wqkv carries scale * LOG2E (module note)
-        att = _grouped_attend(q_blk, kbT, vb, bias, H, D, base2=True)
+        att = _grouped_attend(q_blk, kbT, vb, bias, H, Dp, base2=True)
         y = jax.lax.dot_general(
             att.astype(dt), wout, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -481,10 +489,23 @@ def _block_kernel_blocked(x_ref, sh_ref, sc_ref, g_ref, wqkv_ref, bqkv_ref,
 def _block_pallas_fwd_blocked(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v,
                               key_valid, num_heads: int, T: int, L: int,
                               interpret: bool = False):
+    import os
+
     B, N, C = x.shape
-    D = C // num_heads
+    H = num_heads
+    D = C // H
     Tp = -(-T // 8) * 8
     TK = Tp + 8
+    # lane-padded head layout (Dp = 32 when D = 24): pre-pad the PROJECTION
+    # weights (zero pad lanes/rows) so the kernel's grouped-stack core runs
+    # on exact 128-lane tiles. The pad multiplies EVERY core matmul's flops
+    # by Dp/D (4/3), so it only wins where misaligned-tile overhead dominates
+    # raw flops: measured ATLAS (TK=264) 28.4 -> 27.2 ms, but T=1000
+    # (TK=1008) 10.0 -> 13.2 ms — the big-T logits/PV surfaces tile fine
+    # compact. Gate on key length; MDGEN_BLOCKED_COMPACT=1 A/B-reverts.
+    Dp = D if (128 % D == 0 or TK > 512
+               or os.environ.get("MDGEN_BLOCKED_COMPACT", "")) else 32
+    Cp = H * Dp
 
     x = x.reshape(B, T, L * C)
     if Tp != T:
@@ -495,12 +516,32 @@ def _block_pallas_fwd_blocked(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias
     tail = tail.at[:, :, Tp - T].set(0.0)
     bias = jnp.concatenate([bias, tail], axis=2).reshape(B * L, 1, TK)
 
-    tq = _blocked_tq(Tp, TK, C, budget=11 * 1024 * 1024)
+    tq = _blocked_tq(Tp, TK, max(C, Cp), budget=11 * 1024 * 1024)
     Tp2 = -(-Tp // tq) * tq
     if Tp2 != Tp:
         x = jnp.pad(x, ((0, 0), (0, Tp2 - Tp), (0, 0)))
 
+    if Dp != D:
+        wqkv_p = jnp.pad(wqkv.reshape(C, 3, H, D),
+                         ((0, 0), (0, 0), (0, 0), (0, Dp - D))).reshape(C, 3 * Cp)
+        bqkv_p = jnp.pad(bqkv.reshape(3, H, D),
+                         ((0, 0), (0, 0), (0, Dp - D))).reshape(3 * Cp)
+        wout_p = jnp.pad(wout.reshape(H, D, C),
+                         ((0, 0), (0, Dp - D), (0, 0))).reshape(Cp, C)
+        bk_p = jnp.pad(bias_k.reshape(H, D), ((0, 0), (0, Dp - D))).reshape(1, Cp)
+        bv_p = jnp.pad(bias_v.reshape(H, D), ((0, 0), (0, Dp - D))).reshape(1, Cp)
+    else:
+        wqkv_p, bqkv_p, wout_p = wqkv, bqkv, wout
+        bk_p, bv_p = bias_k.reshape(1, C), bias_v.reshape(1, C)
+
     cos_np, sin_np, fh_np = _rope_tables_np(T + 1, D, C)
+    if Dp != D:
+        def lpad(base):
+            n = base.shape[0]
+            return np.pad(base.reshape(n, H, D),
+                          ((0, 0), (0, 0), (0, Dp - D))).reshape(n, Cp)
+        cos_np, sin_np = lpad(cos_np), lpad(sin_np)
+        fh_np = ((np.arange(Cp) % Dp) < D // 2).astype(np.float32)
 
     def table(base):
         ext_q = base[list(range(T)) + [T - 1] * (Tp - T)] if Tp != T else base[:T]
@@ -511,35 +552,35 @@ def _block_pallas_fwd_blocked(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias
 
     cos = jnp.asarray(table(cos_np), jnp.float32)
     sin = jnp.asarray(table(sin_np), jnp.float32)
-    fh = jnp.asarray(fh_np, jnp.float32).reshape(1, C)
+    fh = jnp.asarray(fh_np, jnp.float32).reshape(1, Cp)
 
     out = pl.pallas_call(
         functools.partial(_block_kernel_blocked, num_heads=num_heads, head_dim=D,
-                          tq=tq, kq=Tp),
+                          tq=tq, kq=Tp, pad_dim=Dp if Dp != D else 0),
         grid=(B, L),
         in_specs=[
             pl.BlockSpec((1, Tp2, C), lambda b, r: (b, 0, r)),
             pl.BlockSpec((1, 1, C), lambda b, r: (b, 0, 0)),
             pl.BlockSpec((1, 1, C), lambda b, r: (b, 0, 0)),
             pl.BlockSpec((1, 1, C), lambda b, r: (b, 0, 0)),
-            pl.BlockSpec((C, 3 * C), lambda b, r: (0, 0)),
-            pl.BlockSpec((1, 3 * C), lambda b, r: (0, 0)),
-            pl.BlockSpec((C, C), lambda b, r: (0, 0)),
+            pl.BlockSpec((C, 3 * Cp), lambda b, r: (0, 0)),
+            pl.BlockSpec((1, 3 * Cp), lambda b, r: (0, 0)),
+            pl.BlockSpec((Cp, C), lambda b, r: (0, 0)),
             pl.BlockSpec((1, C), lambda b, r: (0, 0)),
-            pl.BlockSpec((1, C), lambda b, r: (0, 0)),
-            pl.BlockSpec((1, C), lambda b, r: (0, 0)),
+            pl.BlockSpec((1, Cp), lambda b, r: (0, 0)),
+            pl.BlockSpec((1, Cp), lambda b, r: (0, 0)),
             pl.BlockSpec((1, 1, TK), lambda b, r, L=L: (b * L + r, 0, 0)),
-            pl.BlockSpec((max(TK, Tp2 + 8), C), lambda b, r: (0, 0)),
-            pl.BlockSpec((max(TK, Tp2 + 8), C), lambda b, r: (0, 0)),
-            pl.BlockSpec((1, C), lambda b, r: (0, 0)),
+            pl.BlockSpec((max(TK, Tp2 + 8), Cp), lambda b, r: (0, 0)),
+            pl.BlockSpec((max(TK, Tp2 + 8), Cp), lambda b, r: (0, 0)),
+            pl.BlockSpec((1, Cp), lambda b, r: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, Tp2, C), lambda b, r: (b, 0, r)),
         out_shape=jax.ShapeDtypeStruct((B, Tp2, L * C), x.dtype),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
     )(x, sh.reshape(B, 1, C), sc.reshape(B, 1, C), g.reshape(B, 1, C),
-      wqkv, bqkv.reshape(1, 3 * C), wout, bout.reshape(1, C),
-      bias_k.reshape(1, C).astype(x.dtype), bias_v.reshape(1, C).astype(x.dtype),
+      wqkv_p, bqkv_p.reshape(1, 3 * Cp), wout_p, bout.reshape(1, C),
+      bk_p.astype(x.dtype), bv_p.astype(x.dtype),
       bias, cos, sin, fh)
     return out[:, :T].reshape(B, T * L, C)
 

@@ -105,24 +105,30 @@ def test_blocked_fused_block_matches_xla_composition():
         _block_pallas_fwd_blocked, _block_xla, _time_block_pallas_blocked)
 
     rng = np.random.default_rng(7)
-    B, T, L, C, H = 2, 24, 3, 32, 4
-    N = T * L
-    x = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32) * 0.5
-    sh = jnp.asarray(rng.normal(size=(B, C)), jnp.float32) * 0.2
-    sc = jnp.asarray(rng.normal(size=(B, C)), jnp.float32) * 0.2
-    g = jnp.asarray(rng.normal(size=(B, C)), jnp.float32) * 0.5
-    wqkv = jnp.asarray(rng.normal(size=(C, 3 * C)), jnp.float32) * 0.1
-    bqkv = jnp.asarray(rng.normal(size=(3 * C,)), jnp.float32) * 0.05
-    wout = jnp.asarray(rng.normal(size=(C, C)), jnp.float32) * 0.1
-    bout = jnp.asarray(rng.normal(size=(C,)), jnp.float32) * 0.05
-    bk = jnp.asarray(rng.normal(size=(1, 1, C)), jnp.float32) * 0.1
-    bv = jnp.asarray(rng.normal(size=(1, 1, C)), jnp.float32) * 0.1
-    mask = jnp.asarray(rng.integers(0, 2, size=(B, L, T)), jnp.float32).at[:, :, 0].set(1.0)
+    # C=32/H=4: compact layout (D=8 divides 128); C=96/H=4: the lane-PADDED
+    # head layout (D=24 -> Dp=32, the flagship head shape's route)
+    for C, H in [(32, 4), (96, 4)]:
+        B, T, L = 2, 24, 3
+        N = T * L
+        x = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32) * 0.5
+        sh = jnp.asarray(rng.normal(size=(B, C)), jnp.float32) * 0.2
+        sc = jnp.asarray(rng.normal(size=(B, C)), jnp.float32) * 0.2
+        g = jnp.asarray(rng.normal(size=(B, C)), jnp.float32) * 0.5
+        wqkv = jnp.asarray(rng.normal(size=(C, 3 * C)), jnp.float32) * 0.1
+        bqkv = jnp.asarray(rng.normal(size=(3 * C,)), jnp.float32) * 0.05
+        wout = jnp.asarray(rng.normal(size=(C, C)), jnp.float32) * 0.1
+        bout = jnp.asarray(rng.normal(size=(C,)), jnp.float32) * 0.05
+        bk = jnp.asarray(rng.normal(size=(1, 1, C)), jnp.float32) * 0.1
+        bv = jnp.asarray(rng.normal(size=(1, 1, C)), jnp.float32) * 0.1
+        mask = jnp.asarray(rng.integers(0, 2, size=(B, L, T)), jnp.float32).at[:, :, 0].set(1.0)
 
-    ref = _block_xla(x, sh, sc, g, wqkv, bqkv, wout, bout, bk, bv, mask, H, T, L)
-    got = _block_pallas_fwd_blocked(x, sh, sc, g, wqkv, bqkv, wout, bout, bk, bv,
-                                    mask, H, T, L, interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5, rtol=1e-4)
+        ref = _block_xla(x, sh, sc, g, wqkv, bqkv, wout, bout, bk, bv, mask, H, T, L)
+        got = _block_pallas_fwd_blocked(x, sh, sc, g, wqkv, bqkv, wout, bout, bk, bv,
+                                        mask, H, T, L, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=3e-5, rtol=1e-4, err_msg=f"C={C} H={H}")
+    # gradient flow through the custom VJP (runs on the padded-layout shapes
+    # from the loop's last iteration)
 
     def loss(x, wqkv, g):
         return jnp.sum(_time_block_pallas_blocked(
