@@ -135,6 +135,34 @@ def build_ops():
         return jax.lax.dot_general(rot(x, k), x[:384, :16],
                                    (((1,), (0,)), ((), ())), preferred_element_type=f32)
 
+    # ---- group=2 stacking probes: two independent 416-row dots vs ONE
+    # 832-row dot over the row-concat of the same inputs (the concat is
+    # charged to the stacked op — conservative for a kernel where the
+    # stacked surface arrives from an upstream 2R-row matmul for free) ----
+    def pair_vs_stack(nk):
+        def getw(x, y):
+            return x[:384, :nk] if nk <= 384 else y[:384, :nk]
+
+        @reg(f"pair_dot_416x384x{nk}")
+        def _(x, y, k):
+            w = getw(x, y)
+            d1 = jax.lax.dot_general(rot(x, k), w,
+                                     (((1,), (0,)), ((), ())), preferred_element_type=f32)
+            d2 = jax.lax.dot_general(rot(x, k + 11), w,
+                                     (((1,), (0,)), ((), ())), preferred_element_type=f32)
+            return d1 + d2
+
+        @reg(f"stack_dot_832x384x{nk}")
+        def _(x, y, k):
+            a = jnp.concatenate([rot(x, k), rot(x, k + 11)], axis=0)
+            d = jax.lax.dot_general(a, getw(x, y),
+                                    (((1,), (0,)), ((), ())), preferred_element_type=f32)
+            return d[:R] + d[R:]
+
+    pair_vs_stack(16)
+    pair_vs_stack(384)
+    pair_vs_stack(1536)
+
     @reg("dot_416x384x384")
     def _(x, y, k):
         return jax.lax.dot_general(rot(x, k), x[:384, :384],
