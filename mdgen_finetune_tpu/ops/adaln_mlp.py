@@ -193,9 +193,12 @@ def adaln_mlp(x, sh, sc, g, w1, b1, w2, b2, *, force_xla: bool = False,
     # 4824 steps/s at the r2 bench shape (rows 3200; that shape now runs the
     # whole-trunk kernel anyway). At the LARGE shapes that actually reach
     # this op (the modular _layer_kernels path: ATLAS crop-256, long-T),
-    # the kernel wins decisively — ATLAS forward 43.4 -> 38.4 ms (r3).
+    # the kernel wins decisively — ATLAS forward 43.4 -> 38.4 ms (r3);
+    # measured down the row axis: 16,000 rows (T=1000 B=4) 10.0 -> 9.43 ms
+    # and 8,000 rows (B=2) 5.57 -> 5.28, so the gate sits at 8,000 (the
+    # 3,200-row loss point stays XLA).
     use_pallas = C % 128 == 0 and (force_pallas or (
-        not force_xla and jax.default_backend() == "tpu" and B * N >= 16384))
+        not force_xla and jax.default_backend() == "tpu" and B * N >= 8000))
     if use_pallas:
         mesh = get_kernel_mesh()
         if jax.device_count() > 1 or mesh is not None:
