@@ -910,7 +910,6 @@ def _layer_kernels(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_
     Pallas kernel where its own gates allow."""
     from .adaln_mlp import adaln_mlp
     from .residue_attention import MAX_L as RES_MAX_L
-    from .residue_attention import residue_attention
     from .time_attention import time_attention_block
 
     B, N, C = x.shape
@@ -932,18 +931,13 @@ def _layer_kernels(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_
                                   num_heads=num_heads, tl=(L, T))
         x = xs.reshape(B, L, T, C).transpose(0, 2, 1, 3).reshape(B, N, C)
     else:
-        x32 = x.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=-1, keepdims=True)
-        var = jnp.var(x32, axis=-1, keepdims=True)
-        h = ((x32 - mean) * jax.lax.rsqrt(var + _LN_EPS)).astype(x.dtype)
-        h = h * (1 + sc_l[:, None]) + sh_l[:, None]
-        qkv = h @ wqkv_l.astype(h.dtype) + bqkv_l.astype(h.dtype)
-        q, k, v = (a.reshape(B, T, L, C) for a in
-                   (qkv[..., :C], qkv[..., C:2 * C], qkv[..., 2 * C:]))
-        out = residue_attention(q, k, v, bkl, bvl, mask, num_heads=num_heads,
-                                base2=True)
-        y = out.reshape(B, N, C) @ wout_l.astype(x.dtype) + bout_l.astype(x.dtype)
-        x = x + g_l[:, None] * y
+        # small L at long T: the whole stage (LN + modulate + qkv + rope +
+        # pair-loop attention + out-proj + gate + residual) fuses into ONE
+        # frame-blocked kernel — the XLA pieces around the bare attention
+        # core cost ~2x the core at T=1000 (r3 device profile)
+        from .residue_block import residue_block
+        x = residue_block(x, sh_l, sc_l, g_l, wqkv_l, bqkv_l, wout_l, bout_l,
+                          bkl, bvl, mask, num_heads=num_heads, tl=(T, L))
 
     x = time_attention_block(x, sh_t, sc_t, g_t, wqkv_t, bqkv_t, wout_t, bout_t,
                              bkt, bvt, mask.transpose(0, 2, 1),
