@@ -902,12 +902,16 @@ def _layer_xla(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_t, b
 
 
 def _layer_kernels(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_t,
-                   bout_t, w1, b1, w2, b2, bkl, bvl, bkt, bvt, mask, num_heads, T, L):
+                   bout_t, w1, b1, w2, b2, bkl, bvl, bkt, bvt, mask, num_heads, T, L,
+                   t_logical=None):
     """Modular composition routing each stage through its kernel dispatcher —
     the TPU path for shapes the whole-layer kernel cannot hold in VMEM
     (T > MAX_T flagship forward-sim T=1000, large-L ATLAS crop-256). Same
     math as _layer_xla; each stage engages its fused-block / blocked-core
-    Pallas kernel where its own gates allow."""
+    Pallas kernel where its own gates allow. ``t_logical``: real frame count
+    when x/mask arrive frame-padded to T (padded-trunk routing — frames past
+    t_logical are zero-masked; the residue/MLP stages are frame-independent,
+    the time stage ropes its bias token at position t_logical)."""
     from .adaln_mlp import adaln_mlp
     from .residue_attention import MAX_L as RES_MAX_L
     from .time_attention import time_attention_block
@@ -919,17 +923,16 @@ def _layer_kernels(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_
     sh_m, sc_m, g_m = modr[:, 6], modr[:, 7], modr[:, 8]
 
     if L > RES_MAX_L:
-        # large L (ATLAS crop-256): residue attention IS time attention with
-        # the axes swapped — ONE activation transpose each way replaces the
-        # THREE projected-tensor transposes of the core-only routing, and
-        # the whole block (LN + modulate + qkv + attend + out-proj + gate +
-        # residual) fuses into the blocked whole-block kernel. key_valid for
-        # the swapped call is exactly mask (B, T, L): attend over L, batch T.
-        xs = x.reshape(B, T, L, C).transpose(0, 2, 1, 3).reshape(B, L * T, C)
-        xs = time_attention_block(xs, sh_l, sc_l, g_l, wqkv_l, bqkv_l, wout_l,
-                                  bout_l, bkl, bvl, mask,
-                                  num_heads=num_heads, tl=(L, T))
-        x = xs.reshape(B, L, T, C).transpose(0, 2, 1, 3).reshape(B, N, C)
+        # large L (ATLAS crop-256): each frame's L residue rows are
+        # CONTIGUOUS in the trunk layout, so the blocked whole-block kernel
+        # grids over (B, T) with a rank-4 BlockSpec — the whole stage (LN +
+        # modulate + qkv + attend over residues + out-proj + gate + residual)
+        # with ZERO physical activation transposes (replaced the swap-axes
+        # routing's two (B,T,L,C)<->(B,L,T,C) transposes per layer, r3s3).
+        from .time_attention import residue_rows_block
+        x = residue_rows_block(x, sh_l, sc_l, g_l, wqkv_l, bqkv_l, wout_l,
+                               bout_l, bkl, bvl, mask,
+                               num_heads=num_heads, tl=(T, L))
     else:
         # small L at long T: the whole stage (LN + modulate + qkv + rope +
         # pair-loop attention + out-proj + gate + residual) fuses into ONE
@@ -941,7 +944,8 @@ def _layer_kernels(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_
 
     x = time_attention_block(x, sh_t, sc_t, g_t, wqkv_t, bqkv_t, wout_t, bout_t,
                              bkt, bvt, mask.transpose(0, 2, 1),
-                             num_heads=num_heads, tl=(T, L))
+                             num_heads=num_heads, tl=(T, L),
+                             t_logical=t_logical)
 
     return adaln_mlp(x, sh_m, sc_m, g_m, w1, b1, w2, b2)
 
@@ -1067,12 +1071,19 @@ def fused_layer(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t, wout_t,
         return local(*args)
     if jax.default_backend() == "tpu" and not force_xla:
         # whole-layer kernel ineligible (long T / large L): modular
-        # composition with per-stage kernels; the padded trunk un/re-pads at
-        # the boundary (r3 fix: padded_io previously fell through to the XLA
-        # path here, reverting ATLAS/T=1000 to no kernels at all)
+        # composition with per-stage kernels. The padded trunk stays padded
+        # END-TO-END (r3s3): stages run with T := Tp on the free-reshaped
+        # flat view and the time stage ropes its bias token at the real T
+        # (t_logical) — the per-layer unpad/pad + in-call frame pad/slice
+        # (~0.44 ms/layer at ATLAS, device profile) never materialize.
         if padded_io:
-            flat = _layer_kernels(_unpad_trunk(x, T, L, C), *args[1:], num_heads, T, L)
-            return _pad_trunk(flat, T, L, C)
+            Tp = x.shape[1]
+            xf = x.reshape(B, Tp * L, C)
+            maskp = mask if Tp == T else jnp.pad(
+                mask, ((0, 0), (0, Tp - T), (0, 0)))
+            out = _layer_kernels(xf, *args[1:-1], maskp, num_heads, Tp, L,
+                                 t_logical=T)
+            return out.reshape(B, Tp, L * C)
         return _layer_kernels(*args, num_heads, T, L)
     return xla_path(*args)
 

@@ -420,9 +420,14 @@ def _block_kernel_blocked(x_ref, sh_ref, sc_ref, g_ref, wqkv_ref, bqkv_ref,
     bias-KV concats, and f32 LN converts of the modular composition all
     disappear (r3: ATLAS forward profile showed ~10 ms/fwd of exactly this
     glue). ``kq`` = key rows (the 8-aligned T); query rows may be padded
-    further to a tq multiple (outputs sliced by the host)."""
+    further to a tq multiple (outputs sliced by the host).
+
+    Rank-4 refs ((1, 1, rows, C) blocks) serve the transpose-free residue
+    routing (`_block_pallas_fwd_blocked_rows`): same math, the rows are the
+    L residues of one frame instead of the T frames of one residue."""
     H, D = num_heads, head_dim
-    Tp2, C = x_ref.shape[1], x_ref.shape[2]
+    rank4 = len(x_ref.shape) == 4
+    Tp2, C = x_ref.shape[-2], x_ref.shape[-1]
     half = D // 2
     TK = kq + 8
     # lane-PADDED head layout (pad_dim = Dp > D, e.g. 32 for D = 24): the
@@ -453,7 +458,7 @@ def _block_kernel_blocked(x_ref, sh_ref, sc_ref, g_ref, wqkv_ref, bqkv_ref,
         x32 = x.astype(jnp.float32)
         return (x32 * cos + rotate_half(x32) * sin).astype(x.dtype)
 
-    x = x_ref[0]  # (Tp2, C)
+    x = x_ref[0, 0] if rank4 else x_ref[0]  # (Tp2, C)
     dt = x.dtype
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=1, keepdims=True)
@@ -481,15 +486,26 @@ def _block_kernel_blocked(x_ref, sh_ref, sc_ref, g_ref, wqkv_ref, bqkv_ref,
             att.astype(dt), wout, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + bout  # (tq, C) f32
-        o_ref[0, i * tq:(i + 1) * tq] = (
-            x32[i * tq:(i + 1) * tq] + g * y).astype(o_ref.dtype)
+        o = (x32[i * tq:(i + 1) * tq] + g * y).astype(o_ref.dtype)
+        if rank4:
+            o_ref[0, 0, i * tq:(i + 1) * tq] = o
+        else:
+            o_ref[0, i * tq:(i + 1) * tq] = o
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "T", "L", "interpret"))
+@functools.partial(jax.jit, static_argnames=("num_heads", "T", "L", "interpret",
+                                              "t_logical"))
 def _block_pallas_fwd_blocked(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v,
                               key_valid, num_heads: int, T: int, L: int,
-                              interpret: bool = False):
+                              interpret: bool = False, t_logical: int = None):
+    # ``t_logical``: the REAL frame count when x arrives frame-padded
+    # (padded-trunk modular routing, fused_layer r3s3) — frames
+    # t_logical..T-1 are masked garbage (key_valid zeros) and the learned
+    # bias-KV token ropes at position t_logical, exactly as the unpadded
+    # call ropes it at position T (reference mha.py:265-280).
     import os
+
+    TL = T if t_logical is None else t_logical
 
     B, N, C = x.shape
     H = num_heads
@@ -534,7 +550,7 @@ def _block_pallas_fwd_blocked(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias
         wqkv_p, bqkv_p, wout_p = wqkv, bqkv, wout
         bk_p, bv_p = bias_k.reshape(1, C), bias_v.reshape(1, C)
 
-    cos_np, sin_np, fh_np = _rope_tables_np(T + 1, D, C)
+    cos_np, sin_np, fh_np = _rope_tables_np(max(T, TL) + 1, D, C)
     if Dp != D:
         def lpad(base):
             n = base.shape[0]
@@ -545,7 +561,7 @@ def _block_pallas_fwd_blocked(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias
 
     def table(base):
         ext_q = base[list(range(T)) + [T - 1] * (Tp - T)] if Tp != T else base[:T]
-        t = np.concatenate([ext_q, np.tile(base[T:T + 1], (8, 1))], axis=0)
+        t = np.concatenate([ext_q, np.tile(base[TL:TL + 1], (8, 1))], axis=0)
         if Tp2 + 8 > TK:
             t = np.concatenate([t, np.tile(t[-1:], (Tp2 + 8 - TK, 1))], axis=0)
         return t
@@ -585,24 +601,45 @@ def _block_pallas_fwd_blocked(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias
     return out[:, :T].reshape(B, T * L, C)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14))
+def _block_xla_tl(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v,
+                  key_valid, num_heads, T, L, t_logical, attend=None):
+    """Exact twin of the padded-frames blocked call on the REAL rows: slice
+    to the t_logical real frames, run the unpadded composition (bias token
+    roped at position t_logical), zero-pad back. Pad-frame rows never feed
+    real rows in any trunk stage (masked as keys, independent as queries),
+    so the zero-vs-garbage difference there is unobservable and the VJP
+    through this twin is exact for every differentiable input."""
+    if t_logical is None or t_logical == T:
+        return _block_xla(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v,
+                          key_valid, num_heads, T, L, attend=attend)
+    B, N, C = x.shape
+    TL = t_logical
+    xr = x.reshape(B, T, L, C)[:, :TL].reshape(B, TL * L, C)
+    out = _block_xla(xr, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v,
+                     key_valid[:, :, :TL], num_heads, TL, L, attend=attend)
+    out = out.reshape(B, TL, L, C)
+    return jnp.pad(out, ((0, 0), (0, T - TL), (0, 0), (0, 0))).reshape(B, N, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14, 15))
 def _time_block_pallas_blocked(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k,
                                bias_v, key_valid, num_heads, T, L,
-                               interpret=False):
+                               interpret=False, t_logical=None):
     return _block_pallas_fwd_blocked(x, sh, sc, g, wqkv, bqkv, wout, bout,
                                      bias_k, bias_v, key_valid, num_heads, T, L,
-                                     interpret=interpret)
+                                     interpret=interpret, t_logical=t_logical)
 
 
 def _tbb_fwd(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v, key_valid,
-             num_heads, T, L, interpret):
+             num_heads, T, L, interpret, t_logical):
     res = (x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v, key_valid)
     return _block_pallas_fwd_blocked(x, sh, sc, g, wqkv, bqkv, wout, bout,
                                      bias_k, bias_v, key_valid, num_heads, T, L,
-                                     interpret=interpret), res
+                                     interpret=interpret,
+                                     t_logical=t_logical), res
 
 
-def _tbb_bwd(num_heads, T, L, interpret, res, grad):
+def _tbb_bwd(num_heads, T, L, interpret, t_logical, res, grad):
     from .fused_attention import fused_attention
 
     # route the backward's attention core through the flash kernel so long-T
@@ -611,12 +648,196 @@ def _tbb_bwd(num_heads, T, L, interpret, res, grad):
     att = lambda q, k, v, bk, bv, kv, H: _xla_impl(
         q, k, v, bk, bv, kv, H,
         attend=functools.partial(fused_attention, base2=True))
-    _, vjp = jax.vjp(lambda *a: _block_xla(*a, num_heads, T, L, attend=att), *res)
+    _, vjp = jax.vjp(
+        lambda *a: _block_xla_tl(*a, num_heads, T, L, t_logical, attend=att),
+        *res)
     grads = vjp(grad)
     return grads[:10] + (None,)
 
 
 _time_block_pallas_blocked.defvjp(_tbb_fwd, _tbb_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "T", "L", "interpret"))
+def _block_pallas_fwd_blocked_rows(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k,
+                                   bias_v, key_valid, num_heads: int, T: int,
+                                   L: int, interpret: bool = False):
+    """Transpose-free residue-stage routing for large L: the trunk layout
+    (B, T*L, C) has each frame's L residue rows CONTIGUOUS (row t*L + l), so
+    a free reshape to (B, T, L, C) + a rank-4 BlockSpec feeds the blocked
+    whole-block kernel one frame per program over grid (B, T) — attention
+    over residues (reference src/mdgen/model/latent_model.py:466-472) with
+    zero physical activation transposes. Replaces the swap-axes routing
+    (two (B,T,L,C)<->(B,L,T,C) transposes per layer, ~0.8 ms/layer of
+    reshape+copy at ATLAS crop-256, r3 device profile). ``key_valid`` is
+    mask (B, T, L): 1 = attendable residue of frame t."""
+    import os
+
+    B, N, C = x.shape
+    H = num_heads
+    D = C // H
+    Lp = -(-L // 8) * 8
+    TK = Lp + 8
+    Dp = D if (128 % D == 0 or TK > 512
+               or os.environ.get("MDGEN_BLOCKED_COMPACT", "")) else 32
+    Cp = H * Dp
+
+    x4 = x.reshape(B, T, L, C)
+
+    bias = (key_valid.astype(jnp.float32) - 1.0) * -_NEG_INF  # (B, T, L)
+    tail = jnp.full((B, T, TK - L), _NEG_INF, jnp.float32)
+    tail = tail.at[:, :, Lp - L].set(0.0)
+    bias = jnp.concatenate([bias, tail], axis=2).reshape(B * T, 1, TK)
+
+    tq = _blocked_tq(Lp, TK, max(C, Cp), budget=11 * 1024 * 1024)
+    Lp2 = -(-Lp // tq) * tq
+    if Lp2 != L:
+        x4 = jnp.pad(x4, ((0, 0), (0, 0), (0, Lp2 - L), (0, 0)))
+
+    if Dp != D:
+        wqkv_p = jnp.pad(wqkv.reshape(C, 3, H, D),
+                         ((0, 0), (0, 0), (0, 0), (0, Dp - D))).reshape(C, 3 * Cp)
+        bqkv_p = jnp.pad(bqkv.reshape(3, H, D),
+                         ((0, 0), (0, 0), (0, Dp - D))).reshape(3 * Cp)
+        wout_p = jnp.pad(wout.reshape(H, D, C),
+                         ((0, 0), (0, Dp - D), (0, 0))).reshape(Cp, C)
+        bk_p = jnp.pad(bias_k.reshape(H, D), ((0, 0), (0, Dp - D))).reshape(1, Cp)
+        bv_p = jnp.pad(bias_v.reshape(H, D), ((0, 0), (0, Dp - D))).reshape(1, Cp)
+    else:
+        wqkv_p, bqkv_p, wout_p = wqkv, bqkv, wout
+        bk_p, bv_p = bias_k.reshape(1, C), bias_v.reshape(1, C)
+
+    cos_np, sin_np, fh_np = _rope_tables_np(L + 1, D, C)
+    if Dp != D:
+        def lpad(base):
+            n = base.shape[0]
+            return np.pad(base.reshape(n, H, D),
+                          ((0, 0), (0, 0), (0, Dp - D))).reshape(n, Cp)
+        cos_np, sin_np = lpad(cos_np), lpad(sin_np)
+        fh_np = ((np.arange(Cp) % Dp) < D // 2).astype(np.float32)
+
+    def table(base):
+        ext_q = base[list(range(L)) + [L - 1] * (Lp - L)] if Lp != L else base[:L]
+        t = np.concatenate([ext_q, np.tile(base[L:L + 1], (8, 1))], axis=0)
+        if Lp2 + 8 > TK:
+            t = np.concatenate([t, np.tile(t[-1:], (Lp2 + 8 - TK, 1))], axis=0)
+        return t
+
+    cos = jnp.asarray(table(cos_np), jnp.float32)
+    sin = jnp.asarray(table(sin_np), jnp.float32)
+    fh = jnp.asarray(fh_np, jnp.float32).reshape(1, Cp)
+
+    out = pl.pallas_call(
+        functools.partial(_block_kernel_blocked, num_heads=num_heads, head_dim=D,
+                          tq=tq, kq=Lp, pad_dim=Dp if Dp != D else 0),
+        grid=(B, T),
+        in_specs=[
+            pl.BlockSpec((1, 1, Lp2, C), lambda b, t: (b, t, 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((C, 3 * Cp), lambda b, t: (0, 0)),
+            pl.BlockSpec((1, 3 * Cp), lambda b, t: (0, 0)),
+            pl.BlockSpec((Cp, C), lambda b, t: (0, 0)),
+            pl.BlockSpec((1, C), lambda b, t: (0, 0)),
+            pl.BlockSpec((1, Cp), lambda b, t: (0, 0)),
+            pl.BlockSpec((1, Cp), lambda b, t: (0, 0)),
+            pl.BlockSpec((1, 1, TK), lambda b, t, T=T: (b * T + t, 0, 0)),
+            pl.BlockSpec((max(TK, Lp2 + 8), Cp), lambda b, t: (0, 0)),
+            pl.BlockSpec((max(TK, Lp2 + 8), Cp), lambda b, t: (0, 0)),
+            pl.BlockSpec((1, Cp), lambda b, t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, Lp2, C), lambda b, t: (b, t, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, T, Lp2, C), x.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
+    )(x4, sh.reshape(B, 1, C), sc.reshape(B, 1, C), g.reshape(B, 1, C),
+      wqkv_p, bqkv_p.reshape(1, 3 * Cp), wout_p, bout.reshape(1, C),
+      bk_p.astype(x.dtype), bv_p.astype(x.dtype),
+      bias, cos, sin, fh)
+    if Lp2 != L:
+        out = out[:, :, :L]
+    return out.reshape(B, T * L, C)
+
+
+def _res_rows_xla(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v,
+                  key_valid, num_heads, T, L):
+    """XLA twin of the rows routing (= the swap-axes composition it
+    replaces): parity target and custom-VJP backward."""
+    B, N, C = x.shape
+    xs = x.reshape(B, T, L, C).transpose(0, 2, 1, 3).reshape(B, L * T, C)
+    out = _block_xla(xs, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v,
+                     key_valid, num_heads, L, T)
+    return out.reshape(B, L, T, C).transpose(0, 2, 1, 3).reshape(B, N, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14))
+def _res_rows_block_pallas(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k,
+                           bias_v, key_valid, num_heads, T, L, interpret=False):
+    return _block_pallas_fwd_blocked_rows(x, sh, sc, g, wqkv, bqkv, wout, bout,
+                                          bias_k, bias_v, key_valid, num_heads,
+                                          T, L, interpret=interpret)
+
+
+def _rr_fwd(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v, key_valid,
+            num_heads, T, L, interpret):
+    res = (x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v, key_valid)
+    return _block_pallas_fwd_blocked_rows(
+        x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v, key_valid,
+        num_heads, T, L, interpret=interpret), res
+
+
+def _rr_bwd(num_heads, T, L, interpret, res, grad):
+    _, vjp = jax.vjp(lambda *a: _res_rows_xla(*a, num_heads, T, L), *res)
+    grads = vjp(grad)
+    return grads[:10] + (None,)
+
+
+_res_rows_block_pallas.defvjp(_rr_fwd, _rr_bwd)
+
+
+def residue_rows_block(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v,
+                       mask, *, num_heads: int, tl: tuple,
+                       force_xla: bool = False, force_pallas: bool = False):
+    """Large-L residue-attention stage in trunk layout: x (B, T*L, C), mask
+    (B, T, L). One frame per program over grid (B, T) — no activation
+    transpose. Falls back to the swap-axes routing (`time_attention_block`
+    on the transposed layout) where the kernel cannot hold a frame's rows,
+    and to the XLA composition off-TPU."""
+    import os
+
+    from ..parallel.kernel_sharding import get_kernel_mesh, shard_map_batch0
+
+    T, L = tl
+    B, N, C = x.shape
+    env = os.environ.get("MDGEN_RES_ROWS", "")  # "xla"/"swap" | "rows" A/B
+    force_xla = force_xla or env in ("xla", "swap")
+    force_pallas = force_pallas or env == "rows"
+    on_tpu = jax.default_backend() == "tpu"
+    use_pallas = force_pallas or (
+        not force_xla and on_tpu and C % 128 == 0 and _blocked_fits(L, C))
+    if use_pallas:
+        interp = not on_tpu
+
+        def local(*a):
+            return _res_rows_block_pallas(*a, num_heads, T, L, interp)
+
+        args = (x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v, mask)
+        batched = (True,) * 4 + (False,) * 6 + (True,)
+        if jax.device_count() > 1 or get_kernel_mesh() is not None:
+            out = shard_map_batch0(local, batched, *args)
+            if out is not None:
+                return out
+            if not force_pallas:
+                return _res_rows_xla(*args, num_heads, T, L)
+        return local(*args)
+    # swap-axes routing (the pre-r3s3 path): ONE activation transpose each
+    # way around the lane-blocked kernel
+    xs = x.reshape(B, T, L, C).transpose(0, 2, 1, 3).reshape(B, L * T, C)
+    xs = time_attention_block(xs, sh, sc, g, wqkv, bqkv, wout, bout, bias_k,
+                              bias_v, mask, num_heads=num_heads, tl=(L, T),
+                              force_xla=force_xla)
+    return xs.reshape(B, L, T, C).transpose(0, 2, 1, 3).reshape(B, N, C)
 
 
 def _blocked_vmem_fixed(Tp: int, TK: int, C: int) -> int:
@@ -944,6 +1165,13 @@ def _block_xla(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v, key_valid,
     return x + g[:, None] * y
 
 
+def _dispatch_attend(num_heads):
+    """Attention core routed through the ``time_attention`` kernel
+    dispatcher (the `_block_dispatch` core, reusable with `_block_xla_tl`)."""
+    return lambda q, k, v, bk, bv, kv, H: time_attention(
+        q, k, v, bk, bv, kv, num_heads=H, base2=True)
+
+
 def _block_dispatch(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v, key_valid,
                     num_heads, T, L):
     """The block composition with the attention core routed through the
@@ -984,24 +1212,30 @@ _time_block_pallas.defvjp(_tb_fwd, _tb_bwd)
 
 def time_attention_block(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v,
                          key_valid, *, num_heads: int, tl: tuple,
-                         force_xla: bool = False, force_pallas: bool = False):
+                         force_xla: bool = False, force_pallas: bool = False,
+                         t_logical: int = None):
     """x (B, T*L, C) raw (pre-LN); sh/sc/g (B, C) AdaLN vectors; wqkv (C, 3C)
     with head_dim**-0.5 * LOG2E folded into the q columns (base-2 softmax
     contract, module docstring); key_valid (B, L, T). Returns
-    x + g * out_proj(attend(qkv(modulate(LN(x)))))."""
+    x + g * out_proj(attend(qkv(modulate(LN(x))))). ``t_logical``: real
+    frame count when x arrives frame-padded to T (padded-trunk modular
+    routing) — the blocked kernel handles the pad natively; every other
+    path slices to the real frames and zero-pads back."""
     import os
 
     from ..parallel.kernel_sharding import get_kernel_mesh, shard_map_batch0
 
     T, L = tl
     B, N, C = x.shape
+    if t_logical is not None and t_logical == T:
+        t_logical = None
     env = os.environ.get("MDGEN_TIME_BLOCK", "")
     force_xla = force_xla or env == "xla"
     force_pallas = force_pallas or env == "pallas"
     on_tpu = jax.default_backend() == "tpu"
-    use_pallas = force_pallas or (
+    use_pallas = t_logical is None and (force_pallas or (
         not force_xla and on_tpu and C % 128 == 0 and L <= MAX_L and T <= MAX_T
-    )
+    ))
     args = (x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v, key_valid)
     interp = not on_tpu
     batched = (True, True, True, True, False, False, False, False, False, False, True)
@@ -1019,7 +1253,8 @@ def time_attention_block(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v,
                 return _block_xla(*args, num_heads, T, L)
         return local(*args)
     use_blocked = env == "blocked" or (
-        not force_xla and on_tpu and C % 128 == 0 and (L > MAX_L or T > MAX_T)
+        not force_xla and on_tpu and C % 128 == 0
+        and (L > MAX_L or T > MAX_T or t_logical is not None)
         and _blocked_fits(T, C) and env != "dispatch")
     if use_blocked:
         # blocked whole-block kernel (grid (B, L), internal query-block
@@ -1029,17 +1264,19 @@ def time_attention_block(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v,
         def local_b(x, sh, sc, g, wqkv, bqkv, wout, bout, bk, bv, kv):
             return _time_block_pallas_blocked(x, sh, sc, g, wqkv, bqkv, wout,
                                               bout, bk, bv, kv, num_heads, T, L,
-                                              interp)
+                                              interp, t_logical)
 
         if multi:
             out = shard_map_batch0(local_b, batched, *args)
             if out is not None:
                 return out
             if not force_pallas:
-                return _block_dispatch(*args, num_heads, T, L)
+                return _block_xla_tl(*args, num_heads, T, L, t_logical,
+                                     attend=_dispatch_attend(num_heads))
         return local_b(*args)
     if on_tpu and not force_xla:
         # fused block ineligible: still route the attention core through the
         # kernel dispatcher
-        return _block_dispatch(*args, num_heads, T, L)
-    return _block_xla(*args, num_heads, T, L)
+        return _block_xla_tl(*args, num_heads, T, L, t_logical,
+                             attend=_dispatch_attend(num_heads))
+    return _block_xla_tl(*args, num_heads, T, L, t_logical)
