@@ -62,10 +62,12 @@ def test_fused_layer_padded_head_layout():
 
 def test_layer_kernels_swap_routing_matches_xla():
     """_layer_kernels at large L routes the residue stage through
-    time_attention_block with the axes swapped (ONE activation transpose
-    each way); on CPU every core falls back to its XLA twin, so this pins
-    the ROUTING (transposes, key_valid orientation, mods wiring) against
-    _layer_xla exactly."""
+    residue_rows_block (rank-4 rows kernel on TPU; the swap-axes
+    time_attention_block path is its CPU/ineligible fallback). On CPU every
+    core falls back to its XLA twin, so this pins the ROUTING (key_valid
+    orientation, mods wiring, fallback transposes) against _layer_xla; the
+    rows KERNEL itself is pinned interpret-mode in
+    tests/test_time_attention.py::test_rows_kernel_matches_xla_reference."""
     from mdgen_finetune_tpu.ops.fused_layer import _layer_kernels, _layer_xla
 
     rng = np.random.default_rng(11)

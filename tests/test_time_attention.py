@@ -140,3 +140,103 @@ def test_blocked_fused_block_matches_xla_composition():
         argnums=(0, 1, 2))(x, wqkv, g)
     for a, b in zip((gx, gw, gg), rl):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-3)
+
+
+def _block_inputs(rng, B, C, n_rows):
+    r = lambda *s, sc=0.2: jnp.asarray(rng.normal(size=s), jnp.float32) * sc
+    x = r(B, n_rows, C, sc=0.5)
+    sh, sc_, g = r(B, C), r(B, C), r(B, C, sc=0.5)
+    wqkv = r(C, 3 * C, sc=0.1)
+    bqkv = r(3 * C, sc=0.05)
+    wout = r(C, C, sc=0.1)
+    bout = r(C, sc=0.05)
+    bk = r(1, 1, C, sc=0.1)
+    bv = r(1, 1, C, sc=0.1)
+    return x, sh, sc_, g, wqkv, bqkv, wout, bout, bk, bv
+
+
+def test_rows_kernel_matches_xla_reference():
+    """Rank-4 residue-rows kernel (_block_pallas_fwd_blocked_rows, grid
+    (B, T) over frames — the large-L TPU routing in _layer_kernels): parity
+    with _res_rows_xla (the swap-axes composition it replaced), including an
+    ALL-MASKED frame (kept finite by the always-attendable bias-KV token)
+    and the D=24 lane-padded head layout (Dp=32), plus gradients through
+    the custom VJP (advisor r3)."""
+    from mdgen_finetune_tpu.ops.time_attention import (
+        _block_pallas_fwd_blocked_rows, _res_rows_block_pallas, _res_rows_xla)
+
+    rng = np.random.default_rng(13)
+    B, T, L = 2, 5, 12
+    for C, H in [(32, 4), (96, 4)]:  # compact / lane-padded head layouts
+        x, sh, sc, g, wqkv, bqkv, wout, bout, bk, bv = _block_inputs(rng, B, C, T * L)
+        mask = jnp.asarray(rng.integers(0, 2, size=(B, T, L)), jnp.float32)
+        mask = mask.at[:, :, 0].set(1.0).at[:, 2, :].set(0.0)  # frame 2 all-masked
+
+        ref = _res_rows_xla(x, sh, sc, g, wqkv, bqkv, wout, bout, bk, bv,
+                            mask, H, T, L)
+        got = _block_pallas_fwd_blocked_rows(x, sh, sc, g, wqkv, bqkv, wout,
+                                             bout, bk, bv, mask, H, T, L,
+                                             interpret=True)
+        assert np.isfinite(np.asarray(got)).all()
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=5e-5, rtol=1e-3, err_msg=f"C={C}")
+
+    def loss_k(x, wqkv, g):
+        return jnp.sum(_res_rows_block_pallas(
+            x, sh, sc, g, wqkv, bqkv, wout, bout, bk, bv, mask, H, T, L, True) ** 2)
+
+    def loss_r(x, wqkv, g):
+        return jnp.sum(_res_rows_xla(
+            x, sh, sc, g, wqkv, bqkv, wout, bout, bk, bv, mask, H, T, L) ** 2)
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2))(x, wqkv, g)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(x, wqkv, g)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-3)
+
+
+def test_blocked_t_logical_matches_sliced_composition():
+    """Padded-frames blocked path (t_logical < T: x arrives frame-padded,
+    pad frames are zero-masked garbage, the bias-KV token ropes at position
+    t_logical): forward parity with _block_xla_tl — the sliced unpadded
+    composition — on the REAL frames, finiteness everywhere (all-masked pad
+    frames attend only the bias token), and gradients through the
+    _time_block_pallas_blocked VJP twin (advisor r3)."""
+    from mdgen_finetune_tpu.ops.time_attention import (
+        _block_pallas_fwd_blocked, _block_xla_tl, _time_block_pallas_blocked)
+
+    rng = np.random.default_rng(17)
+    B, T, L, TL = 2, 16, 3, 13
+    for C, H in [(32, 4), (96, 4)]:  # compact / lane-padded head layouts
+        x, sh, sc, g, wqkv, bqkv, wout, bout, bk, bv = _block_inputs(rng, B, C, T * L)
+        kv = jnp.asarray(rng.integers(0, 2, size=(B, L, T)), jnp.float32)
+        kv = kv.at[:, :, 0].set(1.0).at[:, :, TL:].set(0.0)  # pad frames masked
+
+        ref = _block_xla_tl(x, sh, sc, g, wqkv, bqkv, wout, bout, bk, bv,
+                            kv, H, T, L, TL)
+        got = _block_pallas_fwd_blocked(x, sh, sc, g, wqkv, bqkv, wout, bout,
+                                        bk, bv, kv, H, T, L, interpret=True,
+                                        t_logical=TL)
+        assert np.isfinite(np.asarray(got)).all()
+        np.testing.assert_allclose(
+            np.asarray(got).reshape(B, T, L, C)[:, :TL],
+            np.asarray(ref).reshape(B, T, L, C)[:, :TL],
+            atol=5e-5, rtol=1e-3, err_msg=f"C={C}")
+
+    def real_frames(out):
+        return out.reshape(B, T, L, C)[:, :TL]
+
+    def loss_k(x, wqkv, g):
+        return jnp.sum(real_frames(_time_block_pallas_blocked(
+            x, sh, sc, g, wqkv, bqkv, wout, bout, bk, bv, kv,
+            H, T, L, True, TL)) ** 2)
+
+    def loss_r(x, wqkv, g):
+        return jnp.sum(real_frames(_block_xla_tl(
+            x, sh, sc, g, wqkv, bqkv, wout, bout, bk, bv, kv,
+            H, T, L, TL)) ** 2)
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2))(x, wqkv, g)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(x, wqkv, g)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-3)
