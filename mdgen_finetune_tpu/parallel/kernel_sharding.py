@@ -68,6 +68,76 @@ def batch_shard_axes(mesh: Mesh, batch: int):
     return None
 
 
+def seq_shard_axes(mesh: Mesh, batch: int, seq: int):
+    """(batch_axes, seq_axes) for batch+sequence sharding when the batch
+    alone does not divide the mesh (the big-single-sample shapes: ATLAS
+    B=1 crop-256, T=1000 B=1 — VERDICT r3 weak #4). The leading mesh axes
+    whose product divides ``batch`` shard dim 0; the remaining axes (their
+    product dividing ``seq``) shard the kernel's independent sequence axis
+    — frames for the residue stages, residues for the time stage, exactly
+    the Ulysses-style factorization SURVEY §2.7 calls for. Returns None
+    when no sequence axis can be sharded (caller falls back)."""
+    names = tuple(mesh.axis_names)
+    b_axes = []
+    prod = 1
+    for n in names:
+        if batch % (prod * mesh.shape[n]) == 0:
+            b_axes.append(n)
+            prod *= mesh.shape[n]
+        else:
+            break
+    rest = names[len(b_axes):]
+    s_axes = []
+    prod = 1
+    for n in rest:
+        if seq % (prod * mesh.shape[n]) == 0:
+            s_axes.append(n)
+            prod *= mesh.shape[n]
+        else:
+            break
+    if not s_axes:
+        return None
+    return tuple(b_axes), tuple(s_axes)
+
+
+def shard_map_batch_seq(fn, specs: Sequence, *args, seq_dim_size: int,
+                        out_spec=None, mesh: Optional[Mesh] = None):
+    """shard_map with per-arg specs: ``'b'`` = dim 0 over the batch axes,
+    an int d = dim 0 over the batch axes AND dim d over the sequence axes,
+    ``None`` = replicated. ``fn`` receives LOCAL shards (and must read its
+    local shapes — the kernels re-derive their static T/L from them) and
+    must be element-independent along both sharded dims. Returns None when
+    no mesh is active or nothing divides. ``out_spec`` defaults to the
+    spec of the first sharded arg."""
+    mesh = mesh if mesh is not None else get_kernel_mesh()
+    if mesh is None:
+        return None
+    batch = next(a.shape[0] for a, s in zip(args, specs) if s is not None)
+    axes = seq_shard_axes(mesh, batch, seq_dim_size)
+    if axes is None:
+        return None
+    b_axes, s_axes = axes
+    b_part = (b_axes if len(b_axes) > 1 else b_axes[0]) if b_axes else None
+    s_part = s_axes if len(s_axes) > 1 else s_axes[0]
+
+    def to_pspec(s):
+        if s is None:
+            return P()
+        if s == "b":
+            return P(b_part)
+        parts = [b_part] + [None] * (s - 1) + [s_part]
+        return P(*parts)
+
+    in_specs = tuple(to_pspec(s) for s in specs)
+    if out_spec is None:
+        out_spec = next(s for s in specs if s is not None)
+    mapped = jax.shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=to_pspec(out_spec),
+        check_vma=False,
+    )
+    return mapped(*args)
+
+
 def shard_map_batch0(fn, batched: Sequence[bool], *args, mesh: Optional[Mesh] = None):
     """Run ``fn(*args)`` under shard_map with dim 0 of every ``batched`` arg
     sharded over the mesh and the rest replicated. Output is dim-0 sharded.
