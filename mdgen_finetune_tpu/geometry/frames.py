@@ -23,23 +23,44 @@ from . import tables as rc
 from .rigid import Rigid, rigid_vecs_flip
 
 
+_HI = jax.lax.Precision.HIGHEST
+
+
 def _gather_atoms(pos: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """pos (..., L, A, 3), idx (..., L, B) -> (..., L, B, 3)."""
     return jnp.take_along_axis(pos, idx[..., None], axis=-2)
 
 
+def _select_matrix(aatype: jnp.ndarray, table) -> jnp.ndarray:
+    """TABLE[aatype] without a gather: one-hot aatype contraction.
+
+    TPU gathers are scalar-indexed (the r3 train-step profile measured the
+    featurizer's take_along_axis gathers at 9.6 ms/step, ~1/3 of the whole
+    step at ~4 GB/s effective); the per-restype selection tables make every
+    one of them a small exact 0/1 matmul instead. aatype (..., L) int,
+    table (21, J, K) -> (..., L, J, K)."""
+    oh = (aatype[..., None] == jnp.arange(21)).astype(jnp.float32)
+    return jnp.einsum("...r,rjk->...jk", oh, jnp.asarray(table), precision=_HI)
+
+
+def _select_vector(aatype: jnp.ndarray, table) -> jnp.ndarray:
+    """TABLE[aatype] for a (21, J) table — the row-gather twin of
+    _select_matrix. aatype (..., L) int -> (..., L, J)."""
+    oh = (aatype[..., None] == jnp.arange(21)).astype(jnp.float32)
+    return jnp.einsum("...r,rj->...j", oh, jnp.asarray(table), precision=_HI)
+
+
 def atom14_to_atom37(atom14: jnp.ndarray, aatype: jnp.ndarray) -> jnp.ndarray:
     """(..., L, 14, 3) + (..., L) int -> (..., L, 37, 3)."""
-    idx = jnp.asarray(rc.RESTYPE_ATOM37_TO_ATOM14)[aatype]
-    mask = jnp.asarray(rc.RESTYPE_ATOM37_MASK)[aatype]
-    return _gather_atoms(atom14, idx) * mask[..., None]
+    # one-hot selection matmul == gather(idx) * mask (absent rows all-zero)
+    M = _select_matrix(aatype, rc.ATOM37_FROM_ATOM14_ONEHOT)  # (..., L, 37, 14)
+    return jnp.einsum("...ji,...ic->...jc", M, atom14, precision=_HI)
 
 
 def atom37_to_atom14(atom37: jnp.ndarray, aatype: jnp.ndarray) -> jnp.ndarray:
     """(..., L, 37, 3) + (..., L) int -> (..., L, 14, 3)."""
-    idx = jnp.asarray(rc.RESTYPE_ATOM14_TO_ATOM37)[aatype]
-    mask = jnp.asarray(rc.RESTYPE_ATOM14_MASK)[aatype]
-    return _gather_atoms(atom37, idx) * mask[..., None]
+    M = _select_matrix(aatype, rc.ATOM14_FROM_ATOM37_ONEHOT)  # (..., L, 14, 37)
+    return jnp.einsum("...ij,...jc->...ic", M, atom37, precision=_HI)
 
 
 def atom14_to_frames(atom14: jnp.ndarray) -> Rigid:
@@ -65,7 +86,7 @@ def atom37_to_torsions(
         torsions (..., L, 7, 2), torsion_mask (..., L, 7)
     """
     if all_atom_mask is None:
-        all_atom_mask = jnp.asarray(rc.RESTYPE_ATOM37_MASK)[aatype]
+        all_atom_mask = _select_vector(aatype, rc.RESTYPE_ATOM37_MASK)
 
     pos = all_atom_positions
     mask = all_atom_mask
@@ -81,13 +102,15 @@ def atom37_to_torsions(
     phi_mask = prev_mask[..., 2] * jnp.prod(mask[..., :3], axis=-1)
     psi_mask = jnp.prod(mask[..., :3], axis=-1) * mask[..., 4]
 
-    chi_idx = jnp.asarray(rc.get_chi_atom_indices())[aatype]  # (..., L, 4, 4)
-    flat = chi_idx.reshape(*chi_idx.shape[:-2], 16)
-    chis_pos = _gather_atoms(pos, flat).reshape(*chi_idx.shape[:-2], 4, 4, 3)
+    # chi-defining atoms via the one-hot selection matmul (see _select_matrix)
+    M16 = _select_matrix(aatype, rc.CHI_ATOMS_FROM_ATOM37_ONEHOT)  # (..., L, 16, 37)
+    chis_pos = jnp.einsum("...kj,...jc->...kc", M16, pos,
+                          precision=_HI).reshape(*aatype.shape, 4, 4, 3)
 
-    chis_mask = jnp.asarray(rc.CHI_ANGLES_MASK21)[aatype]  # (..., L, 4)
+    chis_mask = _select_vector(aatype, rc.CHI_ANGLES_MASK21)  # (..., L, 4)
     chi_atoms_mask = jnp.prod(
-        jnp.take_along_axis(mask, flat, axis=-1).reshape(*chi_idx.shape[:-2], 4, 4), axis=-1
+        jnp.einsum("...kj,...j->...k", M16, mask,
+                   precision=_HI).reshape(*aatype.shape, 4, 4), axis=-1
     )
     chis_mask = chis_mask * chi_atoms_mask
 
@@ -114,7 +137,9 @@ def torsion_angles_to_frames(frames: Rigid, alpha: jnp.ndarray, aatype: jnp.ndar
 
     frames: Rigid (..., L); alpha: (..., L, 7, 2); returns Rigid (..., L, 8).
     """
-    default_4x4 = jnp.asarray(rc.restype_rigid_group_default_frame)[aatype]  # (..., L, 8, 4, 4)
+    tbl = np.asarray(rc.restype_rigid_group_default_frame, np.float32)  # (21, 8, 4, 4)
+    default_4x4 = _select_matrix(aatype, tbl.reshape(21, 8, 16)).reshape(
+        *aatype.shape, 8, 4, 4)
     default_r = Rigid.from_tensor_4x4(default_4x4)
 
     bb_rot = jnp.broadcast_to(
@@ -149,13 +174,14 @@ def torsion_angles_to_frames(frames: Rigid, alpha: jnp.ndarray, aatype: jnp.ndar
 def frames_torsions_to_atom14(frames: Rigid, torsions: jnp.ndarray, aatype: jnp.ndarray) -> jnp.ndarray:
     """Backbone frames (..., L) + torsions (..., L, 7, 2) -> atom14 (..., L, 14, 3)."""
     group_frames = torsion_angles_to_frames(frames, torsions, aatype)  # (..., L, 8)
-    group_idx = jnp.asarray(rc.restype_atom14_to_rigid_group)[aatype]  # (..., L, 14)
-    lit = jnp.asarray(rc.restype_atom14_rigid_group_positions)[aatype]  # (..., L, 14, 3)
-    mask = jnp.asarray(rc.RESTYPE_ATOM14_MASK)[aatype]  # (..., L, 14)
+    G = _select_matrix(aatype, rc.GROUP_FROM_ATOM14_ONEHOT)  # (..., L, 14, 8)
+    lit = _select_matrix(aatype, rc.restype_atom14_rigid_group_positions)  # (..., L, 14, 3)
+    mask = _select_vector(aatype, rc.RESTYPE_ATOM14_MASK)  # (..., L, 14)
 
-    rot = jnp.take_along_axis(group_frames.rot, group_idx[..., None, None], axis=-3)
-    trans = jnp.take_along_axis(group_frames.trans, group_idx[..., None], axis=-2)
-    pos = jnp.einsum("...ij,...j->...i", rot, lit, precision=jax.lax.Precision.HIGHEST) + trans
+    # per-atom group-frame selection as the one-hot contraction (exact)
+    rot = jnp.einsum("...ig,...gab->...iab", G, group_frames.rot, precision=_HI)
+    trans = jnp.einsum("...ig,...ga->...ia", G, group_frames.trans, precision=_HI)
+    pos = jnp.einsum("...ij,...j->...i", rot, lit, precision=_HI) + trans
     return pos * mask[..., None]
 
 

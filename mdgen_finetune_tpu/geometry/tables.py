@@ -165,3 +165,34 @@ def get_chi_atom_indices() -> np.ndarray:
 CHI_ANGLES_MASK21 = np.concatenate(
     [np.asarray(chi_angles_mask, dtype=np.float32), np.zeros((1, 4), dtype=np.float32)], axis=0
 )
+
+
+# ---------------------------------------------------------------------------
+# One-hot selection matrices for the gather-free geometry paths
+# ---------------------------------------------------------------------------
+# TPU gathers are scalar-indexed and run orders of magnitude below HBM
+# bandwidth (the r3 train-step profile measured the atom14->atom37 / chi-atom
+# take_along_axis gathers at 9.6 ms/step = ~4 GB/s effective, 1/3 of the whole
+# step). Each gather is a fixed per-restype 0/1 selection, so it is exactly a
+# small matmul against these precomputed one-hot matrices — MXU work instead
+# of scalar addressing. Rows masked out in the reference (absent atoms) are
+# all-zero here, folding the post-gather mask multiply into the same matmul.
+
+def _onehot(idx: np.ndarray, depth: int) -> np.ndarray:
+    return (idx[..., None] == np.arange(depth)).astype(np.float32)
+
+
+# (21, 37, 14): atom37 <- atom14 selection, absent atoms zeroed
+ATOM37_FROM_ATOM14_ONEHOT = (
+    _onehot(RESTYPE_ATOM37_TO_ATOM14, 14) * RESTYPE_ATOM37_MASK[..., None]
+)
+# (21, 14, 37): atom14 <- atom37 selection, absent atoms zeroed
+ATOM14_FROM_ATOM37_ONEHOT = (
+    _onehot(RESTYPE_ATOM14_TO_ATOM37, 37) * RESTYPE_ATOM14_MASK[..., None]
+)
+# (21, 16, 37): the 4x4 chi-angle defining atoms (flattened) <- atom37
+CHI_ATOMS_FROM_ATOM37_ONEHOT = _onehot(
+    get_chi_atom_indices().reshape(restype_num + 1, 16), 37
+)
+# (21, 14, 8): rigid-group membership of each atom14 slot
+GROUP_FROM_ATOM14_ONEHOT = _onehot(restype_atom14_to_rigid_group, 8)
