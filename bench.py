@@ -75,18 +75,26 @@ def main():
         # the whole t-embedder chain precomputed in one batched call (the t
         # grid is known before the scan) and fed per step via scan xs; with
         # t_emb given, the t argument itself is unused by the fast path — a
-        # loop-invariant dummy avoids a per-step ts slice
+        # loop-invariant dummy avoids a per-step ts slice. The prepend-IPA
+        # encoder is likewise precomputed for the whole grid in chunk-batched
+        # kernel calls (denoiser.encode_steps — the latency-bound per-step
+        # kernel amortized; the r4 change that crossed the 10k gate), exactly
+        # as InferenceEngine._sample does.
         tembs = model.apply(params, ts, method=model.embed_times)
+        encs = model.apply(params, ts, mask, consts, pack, start_frames=frames,
+                           end_frames=frames, aatype=aatype,
+                           method=model.encode_steps)
         t_dummy = jnp.zeros((B,), jnp.float32)
 
-        def step(xc, te):
+        def step(xc, xs_row):
+            te, en = xs_row
             return model.apply(
                 params, xc, t_dummy, mask, start_frames=frames, end_frames=frames,
                 aatype=aatype, trunk_pack=pack, scan_consts=consts, ode_dt=dt,
-                t_emb=te,
+                t_emb=te, enc=en,
             ), ()
 
-        xT, _ = jax.lax.scan(step, latent_to_flat(x0, P), tembs)
+        xT, _ = jax.lax.scan(step, latent_to_flat(x0, P), (tembs, encs))
         return flat_to_latent(xT, T, L, cfg.latent_dim)
 
     euler_chain(params, x).block_until_ready()  # compile
@@ -109,6 +117,11 @@ def main():
     steps_per_sec = B * n_calls * N_STEPS / elapsed
 
     atlas_ms = _atlas_forward_ms()
+    # roofline context (PERF.md): the trunk kernel's padded bf16 matmul
+    # floor is 13.4 us per (batch-element, layer) program, so the B=64
+    # 5-layer step floors at 4.29 ms; padded-MFU = floor / measured step
+    step_ms = 1000.0 * elapsed / (n_calls * N_STEPS)
+    floor_ms = 5 * B * 13.4e-3
     print(
         json.dumps(
             {
@@ -118,6 +131,9 @@ def main():
                 "vs_baseline": round(steps_per_sec / BASELINE, 3),
                 "atlas_fwd_ms": round(atlas_ms, 2),
                 "atlas_steps_per_sec": round(1000.0 / atlas_ms, 1),
+                "step_ms": round(step_ms, 4),
+                "trunk_matmul_floor_ms": round(floor_ms, 3),
+                "padded_mfu": round(floor_ms / step_ms, 3),
             }
         )
     )

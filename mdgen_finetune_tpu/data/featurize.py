@@ -24,16 +24,19 @@ def featurize_atom14_batch(atom14: jnp.ndarray, seqres: jnp.ndarray, mask: jnp.n
     B, T, L = atom14.shape[:3]
     atom14 = atom14.astype(jnp.float32)
     frames = G.atom14_to_frames(atom14)
-    aat = jnp.broadcast_to(seqres[:, None], (B, T, L))
-    atom37 = G.atom14_to_atom37(atom14, aat)
-    torsions, torsion_mask = G.atom37_to_torsions(atom37, aat)
+    # aatype passed frame-FACTORED (B, L): the geometry selection matrices
+    # stay per-residue and the contractions batch over frames
+    atom37 = G.atom14_to_atom37(atom14, seqres)
+    torsions, torsion_mask = G.atom37_to_torsions(atom37, seqres)
 
     valid = mask.astype(bool)
     eye = jnp.eye(3, dtype=atom14.dtype)
     rots = jnp.where(valid[:, None, :, None, None], frames.rot, eye)
     trans = jnp.where(valid[:, None, :, None], frames.trans, 0.0)
     torsions = jnp.where(valid[:, None, :, None, None], torsions, 0.0)
-    torsion_mask = torsion_mask[:, 0] * mask[..., None]  # frame-0 mask (dataset.py:91)
+    # frame-factored torsion_mask is already (B, L, 7) — the reference's
+    # frame-0 mask (dataset.py:91), which is frame-invariant by construction
+    torsion_mask = torsion_mask * mask[..., None]
 
     return {
         "torsions": torsions,

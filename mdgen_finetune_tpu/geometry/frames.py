@@ -51,15 +51,25 @@ def _select_vector(aatype: jnp.ndarray, table) -> jnp.ndarray:
 
 
 def atom14_to_atom37(atom14: jnp.ndarray, aatype: jnp.ndarray) -> jnp.ndarray:
-    """(..., L, 14, 3) + (..., L) int -> (..., L, 37, 3)."""
+    """(..., L, 14, 3) + (..., L) int -> (..., L, 37, 3).
+
+    ``aatype`` may also omit the frame axis (aatype (..., L) with atom14
+    (..., T, L, 14, 3)): the selection matrix then stays per-residue and the
+    contraction batches over frames — the featurizer's layout, where
+    materializing the per-frame selection tensor costs ~0.5 ms/step."""
     # one-hot selection matmul == gather(idx) * mask (absent rows all-zero)
     M = _select_matrix(aatype, rc.ATOM37_FROM_ATOM14_ONEHOT)  # (..., L, 37, 14)
+    if aatype.ndim == atom14.ndim - 3:
+        return jnp.einsum("...lji,...tlic->...tljc", M, atom14, precision=_HI)
     return jnp.einsum("...ji,...ic->...jc", M, atom14, precision=_HI)
 
 
 def atom37_to_atom14(atom37: jnp.ndarray, aatype: jnp.ndarray) -> jnp.ndarray:
-    """(..., L, 37, 3) + (..., L) int -> (..., L, 14, 3)."""
+    """(..., L, 37, 3) + (..., L) int -> (..., L, 14, 3); aatype may omit the
+    frame axis exactly as in atom14_to_atom37."""
     M = _select_matrix(aatype, rc.ATOM14_FROM_ATOM37_ONEHOT)  # (..., L, 14, 37)
+    if aatype.ndim == atom37.ndim - 3:
+        return jnp.einsum("...lij,...tljc->...tlic", M, atom37, precision=_HI)
     return jnp.einsum("...ij,...jc->...ic", M, atom37, precision=_HI)
 
 
@@ -104,8 +114,13 @@ def atom37_to_torsions(
 
     # chi-defining atoms via the one-hot selection matmul (see _select_matrix)
     M16 = _select_matrix(aatype, rc.CHI_ATOMS_FROM_ATOM37_ONEHOT)  # (..., L, 16, 37)
-    chis_pos = jnp.einsum("...kj,...jc->...kc", M16, pos,
-                          precision=_HI).reshape(*aatype.shape, 4, 4, 3)
+    if aatype.ndim == pos.ndim - 3:
+        # frame-factored: aatype/mask omit the frame axis of pos
+        chis_pos = jnp.einsum("...lkj,...tljc->...tlkc", M16, pos,
+                              precision=_HI).reshape(*pos.shape[:-2], 4, 4, 3)
+    else:
+        chis_pos = jnp.einsum("...kj,...jc->...kc", M16, pos,
+                              precision=_HI).reshape(*aatype.shape, 4, 4, 3)
 
     chis_mask = _select_vector(aatype, rc.CHI_ANGLES_MASK21)  # (..., L, 4)
     chi_atoms_mask = jnp.prod(

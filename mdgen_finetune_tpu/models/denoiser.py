@@ -793,6 +793,62 @@ class LatentMDGen(nn.Module):
                            embed=(wlat_p, const_add, enc),
                            step_dt=ode_dt, biases=biases)  # (B, Tp, L*P) f32
 
+    def encode_steps(self, ts, mask, scan_consts, trunk_pack,
+                     start_frames=None, end_frames=None, aatype=None):
+        """Precompute the prepend-IPA encoder output for a whole t grid in
+        chunk-batched kernel calls: ``ts`` (S, B) -> enc (S, B, L*C). The
+        per-step encoder kernel is latency-bound (5 tiny programs over L*B
+        rows, ~0.064 ms at the bench shape); batching the S steps' rows into
+        ~512-row chunks amortizes that dependent-op latency, and the scan
+        then passes ``enc`` slices into _flat_call so the per-step cost is
+        ONE pallas_call (the trunk). Conditioning (mask/frames/aatype/
+        tokens) is step-invariant — only t_emb varies."""
+        cfg = self.cfg
+        if not cfg.model.prepend_ipa:
+            return None
+        consts = tuple(scan_consts) + (None,) * (4 - len(scan_consts))
+        _, _, _, tokens = consts
+        B, T, L = mask.shape
+        C = cfg.model.embed_dim
+        Sn = ts.shape[0]
+        pack = trunk_pack if trunk_pack is not None else self.make_trunk_pack()
+        encp = pack[4]
+        big = pack[5] if len(pack) > 5 else None
+        t_embs = self.t_embedder(
+            ts.reshape(-1) * cfg.model.time_multiplier).astype(self.dtype)
+        se = nn.silu(t_embs).astype(self.dtype)
+        enc_mods = None
+        if big is not None:
+            wbig, bbig, ncut = big
+            enc_mods = se @ wbig[:, ncut:] + bbig[ncut:]
+        tile = lambda a: jnp.broadcast_to(a[None], (Sn,) + a.shape).reshape(
+            (Sn * a.shape[0],) + a.shape[1:])
+        toks = tokens if tokens is not None else self.make_encoder_tokens(
+            mask[:, 0], aatype, start_frames, end_frames)
+        toks_t = tuple(tile(tk) for tk in toks)
+        f_s = (jax.tree_util.tree_map(tile, start_frames)
+               if start_frames is not None else None)
+        f_e = (jax.tree_util.tree_map(tile, end_frames)
+               if end_frames is not None else None)
+        mask_t = tile(mask[:, 0])
+        aat_t = tile(aatype) if aatype is not None else None
+        rows = Sn * B
+        CH = max(B, 512 // max(L, 1))
+        sl_tree = lambda t_, s: jax.tree_util.tree_map(lambda a: a[s], t_)
+        parts = []
+        for i0 in range(0, rows, CH):
+            s = slice(i0, min(i0 + CH, rows))
+            parts.append(self.run_ipa(
+                t_embs[s], mask_t[s],
+                sl_tree(f_s, s) if f_s is not None else None,
+                sl_tree(f_e, s) if f_e is not None else None,
+                aat_t[s] if aat_t is not None else None,
+                enc_pack=encp,
+                enc_mods=enc_mods[s] if enc_mods is not None else None,
+                tokens=tuple(tk[s] for tk in toks_t)))
+        enc = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        return enc.reshape(Sn, B, L * C)
+
     def flat_euler_steps(self, x, ts, mask, scan_consts, trunk_pack,
                          start_frames=None, end_frames=None, aatype=None,
                          ode_dt=None, t_embs=None):
@@ -836,9 +892,26 @@ class LatentMDGen(nn.Module):
                    if start_frames is not None else None)
             f_e = (jax.tree_util.tree_map(tile, end_frames)
                    if end_frames is not None else None)
-            enc = self.run_ipa(t_embs, tile(mask[:, 0]), f_s, f_e,
-                               tile(aatype) if aatype is not None else None,
-                               enc_pack=encp, enc_mods=enc_mods, tokens=toks_t)
+            mask_t = tile(mask[:, 0])
+            aat_t = tile(aatype) if aatype is not None else None
+            # the fused encoder kernel holds every row of its batch in one
+            # program (grid (NL,)), so large S*B groups must chunk the rows
+            # — VMEM scales linearly and ~512 L*rows sits well under the cap
+            rows = Sn * B
+            CH = max(B, 512 // max(L, 1))
+            sl_tree = lambda t, s: jax.tree_util.tree_map(lambda a: a[s], t)
+            parts = []
+            for i0 in range(0, rows, CH):
+                s = slice(i0, min(i0 + CH, rows))
+                parts.append(self.run_ipa(
+                    t_embs[s], mask_t[s],
+                    sl_tree(f_s, s) if f_s is not None else None,
+                    sl_tree(f_e, s) if f_e is not None else None,
+                    aat_t[s] if aat_t is not None else None,
+                    enc_pack=encp,
+                    enc_mods=enc_mods[s] if enc_mods is not None else None,
+                    tokens=tuple(tk[s] for tk in toks_t)))
+            enc = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
             # rows are (s, b)-major; the kernel wants (B, S, L*C)
             enc = enc.reshape(Sn, B, L * C).transpose(1, 0, 2)
         mods = mods_all[:, :NL * 9 * C].reshape(Sn, B, NL * 9 * C)

@@ -211,3 +211,38 @@ def test_flat_scan_ok_gating():
     bad2 = dataclasses.replace(
         cfg, model=dataclasses.replace(cfg.model, hyena=True))
     assert not LatentMDGen.flat_scan_ok(bad2)
+
+
+def test_encode_steps_matches_per_step_encoder():
+    """encode_steps (chunk-batched whole-t-grid encoder precompute, the r4
+    fast-path change) slice s == the per-step _flat_call encoder route: a
+    flat call fed enc=encode_steps(ts)[s] must equal the same call computing
+    its encoder in-step."""
+    model, cfg = _mk()
+    kw = _inputs(cfg, seed=3)
+    B, T, L = kw["mask"].shape
+    lat = cfg.latent_dim
+    P = -(-lat // 128) * 128
+    params = jax.jit(model.init)(jax.random.key(0), **kw)
+    consts = model.apply(params, kw["x_cond"], kw["x_cond_mask"], kw["mask"],
+                         method=model.make_scan_consts)
+    pack = model.apply(params, method=model.make_trunk_pack)
+    ts = jnp.asarray([[0.15] * B, [0.6] * B], jnp.float32)  # (S=2, B)
+
+    encs = model.apply(params, ts, kw["mask"], consts, pack,
+                       start_frames=kw["start_frames"], end_frames=kw["end_frames"],
+                       aatype=kw["aatype"], method=model.encode_steps)
+    assert encs.shape == (2, B, L * cfg.model.embed_dim)
+
+    xf = latent_to_flat(kw["x"], P)
+    for s in range(2):
+        v_in_step = model.apply(params, xf, ts[s], kw["mask"],
+                                start_frames=kw["start_frames"],
+                                end_frames=kw["end_frames"], aatype=kw["aatype"],
+                                trunk_pack=pack, scan_consts=consts)
+        v_pre = model.apply(params, xf, ts[s], kw["mask"],
+                            start_frames=kw["start_frames"],
+                            end_frames=kw["end_frames"], aatype=kw["aatype"],
+                            trunk_pack=pack, scan_consts=consts, enc=encs[s])
+        np.testing.assert_allclose(np.asarray(v_pre), np.asarray(v_in_step),
+                                   atol=2e-5, rtol=1e-4)
