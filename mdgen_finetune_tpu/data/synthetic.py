@@ -63,15 +63,19 @@ def synthesize_trajectory(
 
 
 def make_synthetic_dataset(
-    out_dir: str, peptides: list[str], num_frames: int = 200, suffix: str = "", seed: int = 0
+    out_dir: str, peptides: list, num_frames: int = 200, suffix: str = "", seed: int = 0
 ) -> str:
-    """Writes per-peptide .npy files + a split CSV; returns the CSV path."""
+    """Writes per-peptide .npy files + a split CSV; returns the CSV path.
+
+    ``peptides``: sequences, or (name, seqres) pairs for long chains whose
+    sequence would overflow a filename (ATLAS-style 256-mers)."""
     os.makedirs(out_dir, exist_ok=True)
     csv_path = os.path.join(out_dir, "split.csv")
     with open(csv_path, "w") as f:
         f.write("name,seqres\n")
         for i, pep in enumerate(peptides):
-            f.write(f"{pep},{pep}\n")
-            arr = synthesize_trajectory(pep, num_frames, seed=seed + i)
-            np.save(os.path.join(out_dir, f"{pep}{suffix}.npy"), arr)
+            name, seq = pep if isinstance(pep, tuple) else (pep, pep)
+            f.write(f"{name},{seq}\n")
+            arr = synthesize_trajectory(seq, num_frames, seed=seed + i)
+            np.save(os.path.join(out_dir, f"{name}{suffix}.npy"), arr)
     return csv_path

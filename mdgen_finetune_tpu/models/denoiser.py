@@ -738,16 +738,13 @@ class LatentMDGen(nn.Module):
         return latent.astype(jnp.float32)
 
     # ------------------------------------------------------------------
-    # (A whole-t-grid precompute of (mods, modf, enc) scanned as xs was
-    # measured and REMOVED: it saved ~0.1 ms/step of t-embedder/encoder
-    # work but made XLA's compile time scale LINEARLY with the scan length
-    # (~3.4 s/step at the bench shape — the big sliced xs defeat the
-    # while-loop form), turning a 100-step sampling compile into ~6 min.
-    # RE-MEASURED in r3 with only the ENCODER outputs as xs ((N, B, L, C),
-    # ~10 MB): compile exceeded 28 minutes — same pathology, dead end. The
-    # small (N, B, C) t-embedding xs does NOT trigger it (compiles in
-    # seconds, +23 steps/s) and is what bench/engine precompute via
-    # embed_times. The per-step fused encoder costs ~1% of a step.
+    # (Whole-t-grid precompute history: an r2/r3 attempt feeding RANK-4
+    # (N, B, L, C) encoder xs made XLA's compile time scale linearly with
+    # the scan length (28+ min at the bench shape). The r4 encode_steps
+    # path feeds the same data as RANK-3 (N, B, L*C) xs — compiles in ~70 s
+    # and moves the latency-bound per-step encoder kernel off the chain
+    # (+0.8% steps/s, the 10k-gate margin). The 4D xs shape was the
+    # pathology trigger, not the size.)
 
     def _flat_call(self, x, t, mask, scan_consts, trunk_pack,
                    start_frames, end_frames, aatype, ode_dt=None, t_emb=None,

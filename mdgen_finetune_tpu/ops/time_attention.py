@@ -639,12 +639,36 @@ def _tbb_fwd(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v, key_valid,
                                      t_logical=t_logical), res
 
 
+def _blocked_bwd_fits(qrows: int, TK: int) -> bool:
+    """The hand-fused blocked backward keeps every head group's (gh*rows, TK)
+    logit/probability surfaces resident at once (no query-block loop): gate
+    it to shapes whose per-program working set stays well under VMEM. ATLAS
+    (256 x 264) fits; T=1000 (1000 x 1008) does not and keeps the XLA-twin
+    route (whose attention core engages the flash kernel at M >= 512)."""
+    return qrows * TK <= 131072
+
+
 def _tbb_bwd(num_heads, T, L, interpret, t_logical, res, grad):
+    import os
+
+    Tp = -(-T // 8) * 8
+    if (os.environ.get("MDGEN_BLOCKED_BWD", "") != "xla"
+            and _blocked_bwd_fits(Tp, Tp + 8)):
+        # hand-fused blocked backward (ops/blocked_block_bwd.py): one
+        # program per (b, residue) recomputing the block forward and
+        # accumulating weight grads across the sequential grid — the XLA
+        # twin's backward spilled the full rope/logit surfaces to HBM
+        # (~230 of the 292 ms ATLAS train step, r4 profile)
+        from .blocked_block_bwd import time_block_bwd
+
+        return time_block_bwd(*res, grad, num_heads, T, L, interpret,
+                              t_logical) + (None,)
+
     from .fused_attention import fused_attention
 
-    # route the backward's attention core through the flash kernel so long-T
-    # differentiation never materializes (B*L*H, T, T) logits (same pattern
-    # as _ta_bwd)
+    # A/B fallback: the XLA-twin VJP with the dispatcher-gated flash core
+    # (engages at M >= 512; forcing it below the gate measured 292 -> 314
+    # ms at ATLAS — tiny programs lose to the batched GEMM)
     att = lambda q, k, v, bk, bv, kv, H: _xla_impl(
         q, k, v, bk, bv, kv, H,
         attend=functools.partial(fused_attention, base2=True))
@@ -761,13 +785,13 @@ def _block_pallas_fwd_blocked_rows(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k,
 
 
 def _res_rows_xla(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v,
-                  key_valid, num_heads, T, L):
+                  key_valid, num_heads, T, L, attend=None):
     """XLA twin of the rows routing (= the swap-axes composition it
     replaces): parity target and custom-VJP backward."""
     B, N, C = x.shape
     xs = x.reshape(B, T, L, C).transpose(0, 2, 1, 3).reshape(B, L * T, C)
     out = _block_xla(xs, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v,
-                     key_valid, num_heads, L, T)
+                     key_valid, num_heads, L, T, attend=attend)
     return out.reshape(B, L, T, C).transpose(0, 2, 1, 3).reshape(B, N, C)
 
 
@@ -788,7 +812,25 @@ def _rr_fwd(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v, key_valid,
 
 
 def _rr_bwd(num_heads, T, L, interpret, res, grad):
-    _, vjp = jax.vjp(lambda *a: _res_rows_xla(*a, num_heads, T, L), *res)
+    import os
+
+    Lp = -(-L // 8) * 8
+    if (os.environ.get("MDGEN_BLOCKED_BWD", "") != "xla"
+            and _blocked_bwd_fits(Lp, Lp + 8)):
+        # hand-fused blocked backward, one program per (b, frame) — see
+        # _tbb_bwd
+        from .blocked_block_bwd import rows_block_bwd
+
+        return rows_block_bwd(*res, grad, num_heads, T, L, interpret) + (None,)
+
+    from .fused_attention import fused_attention
+
+    # A/B fallback: XLA-twin VJP with the dispatcher-gated flash core
+    att = lambda q, k, v, bk, bv, kv, H: _xla_impl(
+        q, k, v, bk, bv, kv, H,
+        attend=functools.partial(fused_attention, base2=True))
+    _, vjp = jax.vjp(
+        lambda *a: _res_rows_xla(*a, num_heads, T, L, attend=att), *res)
     grads = vjp(grad)
     return grads[:10] + (None,)
 

@@ -21,7 +21,15 @@ from mdgen_finetune_tpu.training import Trainer
 
 
 def main(B=32, T=100, L=4, steps=24, grad_ckpt=False):
-    split = make_synthetic_dataset("/tmp/tsb/data", ["AAGG", "GHKL"], num_frames=T + 8)
+    if L == 4:
+        peps = ["AAGG", "GHKL"]
+    else:
+        # ATLAS-style long chains: random L-residue sequences
+        rng0 = np.random.default_rng(7)
+        alpha = "ACDEFGHIKLMNPQRSTVWY"
+        peps = [(f"chain{j}", "".join(alpha[i] for i in rng0.integers(0, 20, size=L)))
+                for j in range(2)]
+    split = make_synthetic_dataset("/tmp/tsb/data", peps, num_frames=T + 8)
     cfg = MDGenConfig(
         model=ModelConfig(prepend_ipa=True, abs_pos_emb=True, use_bf16=True,
                           grad_checkpointing=grad_ckpt),
