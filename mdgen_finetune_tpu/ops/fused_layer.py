@@ -819,9 +819,11 @@ def _trunk_call(x, mods, ws, mask, num_heads: int, T: int, L: int,
         scratch_shapes=scratch,
         interpret=interpret,
         # streamed weights + residual write buffers exceed the compiler's
-        # default 16M scoped cap; lift it (128M physical)
+        # default 16M scoped cap; lift it (128M physical). 96M: the f32
+        # RTB-sampler trunk at T=250 measured 232K over the effective cap
+        # the 64M setting yielded (r4).
         **({"compiler_params": pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024)} if NL > 1 else {}),
+            vmem_limit_bytes=96 * 1024 * 1024)} if NL > 1 else {}),
     )(x, mods.reshape(B, SS * NL, 9, C) if stream else mods.reshape(B, NL, 9, C),
       *fin_inputs, *emb_inputs,
       wqkv_l, bqkv_l.reshape(NL, 1, 3 * C), wout_l, bout_l.reshape(NL, 1, C),

@@ -114,7 +114,12 @@ class RTBTrainer:
 
         # policy network = the denoiser architecture as DDPM v-predictor;
         # the prior policy is its frozen copy, the posterior adds LoRA
-        self.policy = policy if policy is not None else LatentMDGen(cfg, cfg.latent_dim, dtype=jnp.float32)
+        self.policy = policy if policy is not None else LatentMDGen(
+            cfg, cfg.latent_dim,
+            # flagship compute dtype: the frozen prior was trained bf16 and
+            # the f32 trunk kernel VMEM-OOMs at traj_length >= 250 (r4);
+            # the RTB log-prob accumulation stays f32 outside the model
+            dtype=jnp.bfloat16 if cfg.model.use_bf16 else jnp.float32)
         self.policy_params = policy_params if policy_params is not None else prior_sim.engine.params
         self.scheduler = DDPMGFNScheduler(
             num_train_timesteps=rtb.num_train_timesteps, prediction_type="v_prediction",
@@ -561,7 +566,9 @@ class DiffuserTrainer:
         model: Optional[object] = None,
     ):
         self.cfg = cfg
-        self.model = model if model is not None else LatentMDGen(cfg, cfg.latent_dim, dtype=jnp.float32)
+        self.model = model if model is not None else LatentMDGen(
+            cfg, cfg.latent_dim,
+            dtype=jnp.bfloat16 if cfg.model.use_bf16 else jnp.float32)
         self.scheduler = DDPMGFNScheduler(num_train_timesteps=num_train_timesteps)
         self.source_sampler = source_sampler
         self.condition = condition

@@ -122,6 +122,13 @@ def main():
     rtb = RTBConfig(
         batch_size=rtb_B, sampling_length=samp_len, num_train_timesteps=100,
         lora_rank=16, lr=5e-4, logz_lr=5e-2, learning_cutoff=0.1, seed=0,
+        # reference-scale trajectories need the VarGrad logZ estimate: with a
+        # learned scalar logZ the residual (logpf_post + logZ - logpf_prior
+        # - logr) is unanchored at traj_length 250 and the squared loss
+        # explodes (measured r4: loss 1.7e5 -> 2.7e9 over 200 iters while
+        # JSD still improved) — the reference's launcher grids over
+        # --vargrad for the same reason (src/scripts/mdgen_launcher.sh)
+        vargrad=args.scale,
     )
     tr = RTBTrainer(cfg, rtb, sim, reward, workdir=os.path.join(args.outdir, "rtb"))
 

@@ -57,7 +57,10 @@ def main():
         n_batches, batch_size, infer_steps = 1, 2, 3
     else:
         model_kw = {}  # flagship width (src/mdgen/parsing.py:86-93)
-        T, nframes, steps, B = 100, 6000, 4000, 16
+        # 12k steps / conservative lrs: the first r4 drive at lr 1e-3
+        # diverged the design task (grad_norm 6e5) and left TPS short of
+        # converged (EVIDENCE r4 notes)
+        T, nframes, steps, B = 100, 6000, 12000, 16
         n_batches, batch_size, infer_steps = 4, 8, 50
 
     steps = args.train_steps or steps
@@ -89,7 +92,7 @@ def main():
                                   inference_steps=infer_steps),
         data=DataConfig(data_dir=data_dir, num_frames=T, crop=4),
         task=TaskConfig(tps_condition=True),
-        train=TrainConfig(batch_size=B, lr=1e-3, ema=True),
+        train=TrainConfig(batch_size=B, lr=5e-4, ema=True),
     )
     ckpt = train(tps_cfg, "tps")
 
@@ -125,7 +128,7 @@ def main():
                                   inference_steps=infer_steps),
         data=DataConfig(data_dir=data_dir, num_frames=T, crop=4),
         task=TaskConfig(inpainting=True, design=True, no_torsion=True),
-        train=TrainConfig(batch_size=B, lr=1e-3, ema=True),
+        train=TrainConfig(batch_size=B, lr=2e-4, ema=True),
     )
     ckpt_d = train(des_cfg, "design")
 
