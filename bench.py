@@ -77,9 +77,9 @@ def main():
         # t_emb given, the t argument itself is unused by the fast path — a
         # loop-invariant dummy avoids a per-step ts slice. The prepend-IPA
         # encoder is likewise precomputed for the whole grid in chunk-batched
-        # kernel calls (denoiser.encode_steps — the latency-bound per-step
-        # kernel amortized; the r4 change that crossed the 10k gate), exactly
-        # as InferenceEngine._sample does.
+        # kernel calls (denoiser.encode_steps, r4 — the latency-bound
+        # per-step kernel amortized), exactly as InferenceEngine._sample
+        # does.
         tembs = model.apply(params, ts, method=model.embed_times)
         encs = model.apply(params, ts, mask, consts, pack, start_frames=frames,
                            end_frames=frames, aatype=aatype,
@@ -94,27 +94,38 @@ def main():
                 t_emb=te, enc=en,
             ), ()
 
-        xT, _ = jax.lax.scan(step, latent_to_flat(x0, P), (tembs, encs))
+        # unroll=2 overlaps the per-step XLA glue with the previous step's
+        # trunk kernel (+1.9% measured r5: 9,769 -> 9,957); matches the
+        # shipped InferenceEngine._sample scan
+        xT, _ = jax.lax.scan(step, latent_to_flat(x0, P), (tembs, encs),
+                             unroll=2)
         return flat_to_latent(xT, T, L, cfg.latent_dim)
 
     euler_chain(params, x).block_until_ready()  # compile
 
-    # distinct inputs per call: the remote-execution relay caches results for
-    # repeated (executable, args) pairs, which would inflate the number.
-    # Pipelined calls amortize the single end sync (~25 ms tunnel RTT,
-    # PERF.md "relay measurement gotchas") to < 1% of the timed region
+    # Hardened protocol (VERDICT r4 item 1): the one-shot timed region had a
+    # noise floor (~2.5% builder-vs-driver spread) comparable to the gate
+    # margin. Run N_REGIONS independent timed regions with FRESH inputs each
+    # (the remote-execution relay caches results for repeated
+    # (executable, args) pairs, which would inflate the number) and report
+    # the MEDIAN plus the min/max spread as JSON fields. Within a region,
+    # pipelined calls amortize the single end sync (~25 ms tunnel RTT,
+    # PERF.md "relay measurement gotchas") to < 0.4% of the timed region
     # (measured: 4 -> 8 -> 12 chains = 9,646 / 9,792 / 9,835 steps/s —
-    # converging to the device-limit 1/span; 10 B=64 chains keep the sync
-    # share < 0.4%).
-    n_calls = 10
-    xs = [jnp.asarray(rng.normal(size=x.shape), jnp.float32) for _ in range(n_calls)]
-    jax.block_until_ready(xs)  # uploads land before the timed region
-    start = time.perf_counter()
-    outs = [euler_chain(params, xs[i]) for i in range(n_calls)]
-    jax.block_until_ready(outs)
-    elapsed = time.perf_counter() - start
+    # converging to the device-limit 1/span).
+    n_calls, n_regions = 10, 5
+    region_rates = []
+    for _ in range(n_regions):
+        xs = [jnp.asarray(rng.normal(size=x.shape), jnp.float32) for _ in range(n_calls)]
+        jax.block_until_ready(xs)  # uploads land before the timed region
+        start = time.perf_counter()
+        outs = [euler_chain(params, xs[i]) for i in range(n_calls)]
+        jax.block_until_ready(outs)
+        region_rates.append(B * n_calls * N_STEPS / (time.perf_counter() - start))
 
-    steps_per_sec = B * n_calls * N_STEPS / elapsed
+    steps_per_sec = float(np.median(region_rates))
+    spread_pct = 100.0 * (max(region_rates) - min(region_rates)) / steps_per_sec
+    elapsed = B * n_calls * N_STEPS / steps_per_sec  # median-region seconds
 
     atlas_ms = _atlas_forward_ms()
     # roofline context (PERF.md): the trunk kernel's padded bf16 matmul
@@ -129,6 +140,10 @@ def main():
                 "value": round(steps_per_sec, 1),
                 "unit": "steps/sec/chip",
                 "vs_baseline": round(steps_per_sec / BASELINE, 3),
+                "regions": [round(r, 1) for r in region_rates],
+                "region_min": round(min(region_rates), 1),
+                "region_max": round(max(region_rates), 1),
+                "spread_pct": round(spread_pct, 2),
                 "atlas_fwd_ms": round(atlas_ms, 2),
                 "atlas_steps_per_sec": round(1000.0 / atlas_ms, 1),
                 "step_ms": round(step_ms, 4),

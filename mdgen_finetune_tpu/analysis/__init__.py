@@ -4,7 +4,8 @@ from .cluster import KMeans
 from .msm import MarkovStateModel, pcca_plus, sample_tp, get_tp_likelihood, get_state_probs
 from .metrics import acovf, torsion_jsd, decorrelation, tica_jsd
 from .pipeline import analyze_sim
-from .task_metrics import analyze_tps_ensemble, analyze_upsampling, sequence_recovery
+from .task_metrics import (analyze_tps_ensemble, analyze_tps_replica_sweep,
+                           analyze_upsampling, sequence_recovery)
 
 __all__ = [
     "featurize_trajectory",
@@ -22,6 +23,7 @@ __all__ = [
     "tica_jsd",
     "analyze_sim",
     "analyze_tps_ensemble",
+    "analyze_tps_replica_sweep",
     "analyze_upsampling",
     "sequence_recovery",
 ]

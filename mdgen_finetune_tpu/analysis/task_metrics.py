@@ -12,7 +12,7 @@ from scipy.spatial.distance import jensenshannon
 
 from .featurize import featurize_trajectory
 from .metrics import acovf
-from .msm import get_state_probs, get_tp_likelihood, sample_tp
+from .msm import MarkovStateModel, get_state_probs, get_tp_likelihood, sample_tp
 
 
 def analyze_tps_ensemble(
@@ -61,6 +61,80 @@ def analyze_tps_ensemble(
         "ref_stateprobs": ref_stateprobs,
         "gen_stateprobs": gen_stateprobs,
     }
+
+
+def analyze_tps_replica_sweep(
+    rep_atom14: np.ndarray,
+    aatype: np.ndarray,
+    meta: dict,
+    start_state: int,
+    end_state: int,
+    ref_stateprobs: np.ndarray,
+    rep_fracs: tuple = (1.0, 0.5, 0.3, 0.2, 0.1, 0.05, 0.02),
+    rep_names: tuple = ("100ns", "50ns", "30ns", "20ns", "10ns", "5ns", "2ns"),
+    msm_lag: int = 1000,
+    traj_len: int = 11,
+    n_samples: int = 1000,
+    seed: int = 137,
+) -> dict:
+    """The reference's replica-baseline sweep
+    (src/scripts/analyze_peptide_tps.py:86-135): score transition paths
+    sampled from MSMs estimated on an INDEPENDENT replica MD trajectory
+    truncated to shrinking simulation budgets — the baseline the paper's
+    "beats X ns of MD" claim rests on. For each budget: discretize the
+    truncated replica through the reference pipeline's tica/kmeans/
+    metastable map, estimate a fresh MSM (the reference's
+    pyemma.msm.estimate_markov_model at lag 1000), bridge-sample
+    ``n_samples`` paths between the endpoint states, and score them with
+    the SAME likelihood/JSD machinery applied to generated ensembles. When
+    either endpoint state is absent from the truncated replica's MSM the
+    budget scores zero (validity/prob 0, JSD 1) — exactly the reference's
+    branch (analyze_peptide_tps.py:101-110).
+
+    The reference truncates its ~1M-frame 100 ns replica to absolute frame
+    counts {999999, 500000, 300000, 200000, 100000, 50000, 20000}; here the
+    budgets are the same sweep expressed as FRACTIONS of the replica so the
+    sweep also applies to shorter (e.g. synthetic) replicas. msm_lag is
+    clipped to len/4 like build_msm_metadata.
+    """
+    msm, cmsm, tica, kmeans = meta["msm"], meta["cmsm"], meta["tica"], meta["kmeans"]
+    rng = np.random.default_rng(seed)
+    _, rep_cs = featurize_trajectory(rep_atom14, aatype, sidechains=True, cossin=True)
+
+    active_pos = {int(v): i for i, v in enumerate(cmsm.active_set)}
+    highest = int(cmsm.active_set[np.argmax(cmsm.pi)])
+    to_active = np.vectorize(lambda s: active_pos.get(int(s), active_pos[highest]))
+
+    out = {}
+    for frac, nm in zip(rep_fracs, rep_names):
+        n = max(int(round(len(rep_cs) * frac)), 8)
+        zero = {f"{nm}_rep_prob": 0.0, f"{nm}_rep_valid_prob": 0.0,
+                f"{nm}_rep_valid_rate": 0.0, f"{nm}_rep_JSD": 1.0}
+        try:
+            rep_discrete = msm.metastable_assignments[
+                kmeans.transform(tica.transform(rep_cs[:n]))]
+            rep_msm = MarkovStateModel(lag=min(msm_lag, n // 4)).fit(
+                rep_discrete, n_states=len(ref_stateprobs))
+        except Exception:
+            out.update(zero)
+            continue
+        rep_pos = {int(v): i for i, v in enumerate(rep_msm.active_set)}
+        if start_state not in rep_pos or end_state not in rep_pos:
+            out.update(zero)
+            continue
+        repidx_tp = sample_tp(rep_msm.transition_matrix, rep_pos[start_state],
+                              rep_pos[end_state], traj_len=traj_len,
+                              n_samples=n_samples, rng=rng)
+        rep_tp = rep_msm.active_set[repidx_tp]
+        rep_probs = get_tp_likelihood(to_active(rep_tp), cmsm.transition_matrix)
+        rep_prob = rep_probs.prod(-1)
+        rep_stateprobs = get_state_probs(rep_tp, num_states=len(ref_stateprobs))
+        out[f"{nm}_rep_prob"] = float(rep_prob.mean())
+        out[f"{nm}_rep_valid_prob"] = (
+            float(rep_prob[rep_prob > 0].mean()) if (rep_prob > 0).any() else 0.0)
+        out[f"{nm}_rep_valid_rate"] = float((rep_prob > 0).mean())
+        out[f"{nm}_rep_JSD"] = float(jensenshannon(ref_stateprobs, rep_stateprobs))
+    return out
 
 
 def analyze_upsampling(

@@ -41,6 +41,12 @@ def main():
     ap.add_argument("--pretrain_steps", type=int, default=None)
     ap.add_argument("--rtb_iters", type=int, default=None)
     ap.add_argument("--eval_n", type=int, default=None, help="eval sample count")
+    ap.add_argument("--traj_length", type=int, default=None,
+                    help="override T (with --scale): --traj_length 1000 is "
+                         "the reference's actual fine-tune config "
+                         "(src/scripts/mdgen_finetune.sh)")
+    ap.add_argument("--rtb_batch", type=int, default=None,
+                    help="override the RTB iteration batch size")
     args = ap.parse_args()
 
     import jax
@@ -78,10 +84,11 @@ def main():
         # frames per sample, sampling_length 10 DDPM steps — the reference's
         # sampling_length (src/scripts/mdgen_finetune.sh)
         model_kw = {}
-        T, nframes = 250, 4000
+        T, nframes = (args.traj_length or 250), 4000
+        nframes = max(nframes, 4 * T)
         pretrain_steps = args.pretrain_steps or 4000
         rtb_iters = args.rtb_iters or 300
-        rtb_B, samp_len, eval_n = 8, 10, args.eval_n or 64
+        rtb_B, samp_len, eval_n = (args.rtb_batch or 8), 10, args.eval_n or 64
         inference_steps = 10
     else:
         # flagship width (src/mdgen/parsing.py:86-93); T kept moderate so the

@@ -1,4 +1,5 @@
-"""On-chip quality drives for TPS and inpainting/design (EVIDENCE r4).
+"""On-chip quality drives for TPS and inpainting/design (EVIDENCE.md
+"Round 4: TPS + design quality drives").
 
 VERDICT r3 item 6: converged-quality on-chip evidence existed only for
 forward-sim (r2) and RTB (r3). This drive trains flagship-width models for
@@ -32,6 +33,12 @@ def main():
     ap.add_argument("--outdir", default="/tmp/taskq")
     ap.add_argument("--tiny", action="store_true", help="CPU smoke scale")
     ap.add_argument("--train_steps", type=int, default=None)
+    ap.add_argument("--tasks", default="tps,design",
+                    help="comma subset of {tps,design}")
+    ap.add_argument("--tps_lr", type=float, default=3e-4)
+    ap.add_argument("--gen_batches", type=int, default=None)
+    ap.add_argument("--gen_batch_size", type=int, default=None)
+    ap.add_argument("--infer_steps", type=int, default=None)
     args = ap.parse_args()
 
     import jax
@@ -59,13 +66,23 @@ def main():
         model_kw = {}  # flagship width (src/mdgen/parsing.py:86-93)
         # 12k steps / conservative lrs: the first r4 drive at lr 1e-3
         # diverged the design task (grad_norm 6e5) and left TPS short of
-        # converged (EVIDENCE r4 notes)
+        # converged (EVIDENCE.md "Round 4: TPS + design quality drives")
         T, nframes, steps, B = 100, 6000, 12000, 16
         n_batches, batch_size, infer_steps = 4, 8, 50
 
     steps = args.train_steps or steps
+    n_batches = args.gen_batches or n_batches
+    batch_size = args.gen_batch_size or batch_size
+    infer_steps = args.infer_steps or infer_steps
+    tasks = set(args.tasks.split(","))
     data_dir = os.path.join(args.outdir, "data")
     split = make_synthetic_dataset(data_dir, ["AGHK", "LVSE"], num_frames=nframes)
+    # independent replica MD (different seed stream) for the reference's
+    # replica-baseline sweep (analyze_peptide_tps.py:86-135): the "X ns of
+    # plain MD" the generated path ensemble is claimed to beat
+    rep_dir = os.path.join(args.outdir, "replica")
+    make_synthetic_dataset(rep_dir, ["AGHK", "LVSE"], num_frames=nframes,
+                           seed=100)
     summary = {}
 
     def train(cfg, name):
@@ -85,42 +102,119 @@ def main():
         return trainer.save_checkpoint(state, os.path.join(args.outdir, f"{name}_ckpt"))
 
     # ---- 1. TPS ----
-    tps_cfg = MDGenConfig(
-        model=ModelConfig(prepend_ipa=True, abs_pos_emb=True,
-                          use_bf16=not args.tiny, **model_kw),
-        transport=TransportConfig(sampling_method="euler",
-                                  inference_steps=infer_steps),
-        data=DataConfig(data_dir=data_dir, num_frames=T, crop=4),
-        task=TaskConfig(tps_condition=True),
-        train=TrainConfig(batch_size=B, lr=5e-4, ema=True),
-    )
-    ckpt = train(tps_cfg, "tps")
+    if "tps" in tasks:
+        tps_cfg = MDGenConfig(
+            model=ModelConfig(prepend_ipa=True, abs_pos_emb=True,
+                              use_bf16=not args.tiny, **model_kw),
+            transport=TransportConfig(sampling_method="euler",
+                                      inference_steps=infer_steps),
+            data=DataConfig(data_dir=data_dir, num_frames=T, crop=4),
+            task=TaskConfig(tps_condition=True),
+            train=TrainConfig(batch_size=B, lr=args.tps_lr, ema=True),
+        )
+        ckpt = train(tps_cfg, "tps")
 
-    from mdgen_finetune_tpu.cli.tps_inference import main as tps_main
+        from mdgen_finetune_tpu.cli.tps_inference import main as tps_main
 
-    tps_out = os.path.join(args.outdir, "tps_out")
-    t0 = time.time()
-    tps_main(["--sim_ckpt", ckpt, "--data_dir", data_dir, "--split", split,
-              "--out_dir", tps_out, "--num_batches", str(n_batches),
-              "--batch_size", str(batch_size)])
-    summary["tps_gen_s"] = round(time.time() - t0, 1)
+        tps_out = os.path.join(args.outdir, "tps_out")
+        t0 = time.time()
+        tps_main(["--sim_ckpt", ckpt, "--data_dir", data_dir, "--split", split,
+                  "--out_dir", tps_out, "--num_batches", str(n_batches),
+                  "--batch_size", str(batch_size)])
+        summary["tps_gen_s"] = round(time.time() - t0, 1)
 
-    from mdgen_finetune_tpu.cli.analyze_tps import main as atps_main
+        from mdgen_finetune_tpu.cli.analyze_tps import main as atps_main
 
-    tps_res = os.path.join(args.outdir, "tps_analysis")
-    atps_main(["--pdbdir", tps_out, "--outdir", tps_res, "--save"])
-    for pep in ("AGHK", "LVSE"):
-        path = os.path.join(tps_res, f"{pep}.pkl")
-        if os.path.exists(path):
-            with open(path, "rb") as f:
-                res = pickle.load(f)
-            summary[f"tps_{pep}"] = {
-                k: round(float(res[k]), 4)
-                for k in ("gen_prob", "gen_valid_prob", "gen_valid_rate", "gen_JSD")
-                if k in res
+        tps_res = os.path.join(args.outdir, "tps_analysis")
+        # replica MSM lag scaled to the synthetic trajectory length (the
+        # reference's lag 1000 assumes a ~1M-frame replica)
+        atps_main(["--pdbdir", tps_out, "--outdir", tps_res, "--save",
+                   "--repdir", rep_dir, "--msm_lag", str(max(nframes // 60, 2))])
+        rep_keys = [f"{nm}_rep_{f}" for nm in
+                    ("100ns", "50ns", "30ns", "20ns", "10ns", "5ns", "2ns")
+                    for f in ("prob", "valid_prob", "valid_rate", "JSD")]
+        for pep in ("AGHK", "LVSE"):
+            path = os.path.join(tps_res, f"{pep}.pkl")
+            if os.path.exists(path):
+                with open(path, "rb") as f:
+                    res = pickle.load(f)
+                summary[f"tps_{pep}"] = {
+                    k: float(res[k])
+                    for k in ("gen_prob", "gen_valid_prob", "gen_valid_rate",
+                              "gen_JSD", *rep_keys)
+                    if k in res
+                }
+
+    # ---- 2. upsampling (VERDICT r4 item 6: the last generative task
+    # without an on-chip quality drive; reference upsampling config =
+    # sim_condition + cond_interval, README.md:60-63, scored by
+    # analyze_upsampling autocorrelation recovery) ----
+    if "upsampling" in tasks:
+        ival = 2 if args.tiny else 10  # T frames per window / ival cond rows
+        ups_cfg = MDGenConfig(
+            model=ModelConfig(prepend_ipa=True, abs_pos_emb=True,
+                              use_bf16=not args.tiny, **model_kw),
+            transport=TransportConfig(sampling_method="euler",
+                                      inference_steps=infer_steps),
+            data=DataConfig(data_dir=data_dir, num_frames=T, crop=4),
+            task=TaskConfig(sim_condition=True, cond_interval=ival),
+            train=TrainConfig(batch_size=B, lr=2e-4, ema=True),
+        )
+        ckpt_u = train(ups_cfg, "upsampling")
+
+        # the coarse input = the held-out MD subsampled x ival (the cheap
+        # simulation the upsampler densifies); saved under the CLI's suffix
+        for pep in ("AGHK", "LVSE"):
+            md = np.load(os.path.join(data_dir, f"{pep}.npy"))
+            np.save(os.path.join(data_dir, f"{pep}_i{ival}.npy"), md[::ival])
+
+        from mdgen_finetune_tpu.cli.upsampling_inference import main as ups_main
+
+        ups_out = os.path.join(args.outdir, "upsampling_out")
+        t0 = time.time()
+        ups_main(["--ckpt", ckpt_u, "--data_dir", data_dir,
+                  "--suffix", f"_i{ival}", "--split", split,
+                  "--out_dir", ups_out])
+        summary["upsampling_gen_s"] = round(time.time() - t0, 1)
+
+        from mdgen_finetune_tpu.cli.analyze_upsampling import main as aups_main
+
+        aups_main(["--mddir", data_dir, "--pdbdir", ups_out,
+                   "--subsample", str(ival)])
+        from mdgen_finetune_tpu.geometry.tables import str_sequence_to_aatype
+        for pep in ("AGHK", "LVSE"):
+            pkl_path = os.path.join(ups_out, f"{pep}_autocorr.pkl")
+            if not os.path.exists(pkl_path):
+                continue
+            with open(pkl_path, "rb") as f:
+                ac = pickle.load(f)
+            # fine-lag autocovariance recovery: lags 1..ival-1 exist ONLY in
+            # the upsampled/full-rate trajectories (the coarse input has no
+            # information there); zero-order hold of the coarse traj is the
+            # model-free baseline
+            md_np = np.load(os.path.join(data_dir, f"{pep}.npy"))
+            hold = np.repeat(md_np[::ival], ival, axis=0)[: len(md_np)]
+            from mdgen_finetune_tpu.analysis import analyze_upsampling as _au
+            aat = str_sequence_to_aatype(pep)
+            hold_ac = _au(hold.astype(np.float32), md_np.astype(np.float32),
+                          np.asarray(aat), subsample=ival)
+            fine = slice(1, ival)
+            errs_ours, errs_hold = [], []
+            for lab, md_curve in ac["md_autocorr"].items():
+                errs_ours.append(np.abs(ac["our_autocorr"][lab][fine] - md_curve[fine]).mean())
+                errs_hold.append(np.abs(hold_ac["our_autocorr"][lab][fine] - md_curve[fine]).mean())
+            summary[f"upsampling_{pep}"] = {
+                "fine_lag_acovf_err": round(float(np.mean(errs_ours)), 5),
+                "fine_lag_acovf_err_hold_baseline": round(float(np.mean(errs_hold)), 5),
             }
 
-    # ---- 2. inpainting / design ----
+    # ---- 3. inpainting / design ----
+    if "design" not in tasks:
+        summary["total_s"] = round(time.time() - t_start, 1)
+        with open(os.path.join(args.outdir, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=1)
+        print(json.dumps(summary), flush=True)
+        return
     des_cfg = MDGenConfig(
         model=ModelConfig(prepend_ipa=True, abs_pos_emb=True, no_aa_emb=True,
                           use_bf16=not args.tiny, **model_kw),
