@@ -119,17 +119,15 @@ def _rot_t(g, fh, half, C):
 # stage 3 (MLP) backward kernel
 # ---------------------------------------------------------------------------
 
-def _k3(x2_ref, dout_ref, mod_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-        dx2_ref, dmod_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, *,
-        channels: int):
+def _k3_core(X2, dOUT, mod_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+             dmod_ref, dmod_off, dw1_ref, db1_ref, dw2_ref, db2_ref,
+             first, channels: int):
+    """MLP-stage backward on VALUES: stage input ``X2`` (R, C) bf16 and
+    upstream cotangent ``dOUT`` (R, C) f32 in, stage cotangent (R, C) f32
+    out. Weight grads accumulate into refs; dmod rows land at
+    ``dmod_off``.."""
     C = channels
-    Tp, LC = dout_ref.shape[1], dout_ref.shape[2]
-    L = LC // C
-    dt = x2_ref.dtype
-    first = pl.program_id(0) == 0
-
-    X2 = x2_ref[0]                                   # (R, C) stacked
-    dOUT = _restack(dout_ref[0], L, C).astype(jnp.float32)  # (R, C)
+    dt = X2.dtype
 
     h3, hh, rstd, sc = _modln_fwd(X2, mod_ref, 6, dt)
     a = _mm(h3, w1_ref[...], 1, 0) + b1_ref[...].astype(jnp.float32)  # (R, F) f32
@@ -150,34 +148,47 @@ def _k3(x2_ref, dout_ref, mod_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     dh3 = _mm(da, w1_ref[...], 1, 1)                 # (R, C) f32
 
     dx_ln, dsh, dsc = _modln_bwd(dh3, hh, rstd, sc)
-    dmod_ref[0, 0:1, :] = dsh
-    dmod_ref[0, 1:2, :] = dsc
-    dmod_ref[0, 2:3, :] = dg
-    dx2_ref[0] = (dOUT + dx_ln).astype(dx2_ref.dtype)
+    dmod_ref[0, dmod_off:dmod_off + 1, :] = dsh
+    dmod_ref[0, dmod_off + 1:dmod_off + 2, :] = dsc
+    dmod_ref[0, dmod_off + 2:dmod_off + 3, :] = dg
+    return dOUT + dx_ln
+
+
+def _k3(x2_ref, dout_ref, mod_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+        dx2_ref, dmod_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, *,
+        channels: int):
+    C = channels
+    LC = dout_ref.shape[2]
+    L = LC // C
+    first = pl.program_id(0) == 0
+    dOUT = _restack(dout_ref[0], L, C).astype(jnp.float32)  # (R, C)
+    dx2 = _k3_core(x2_ref[0], dOUT, mod_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                   dmod_ref, 0, dw1_ref, db1_ref, dw2_ref, db2_ref,
+                   first, channels)
+    dx2_ref[0] = dx2.astype(dx2_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
 # stage 2 (frame attention) backward kernel
 # ---------------------------------------------------------------------------
 
-def _k2(x1_ref, dx2_ref, mod_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
-        bkt_ref, bvt_ref, bias_ref, cost_ref, sint_ref, fht_ref,
-        dx1_ref, dmod_ref, dwqkv_ref, dbqkv_ref, dwout_ref, dbout_ref,
-        dbkt_ref, dbvt_ref, *, num_heads: int, head_dim: int, pad_dim: int,
-        channels: int):
+def _k2_core(X1, dX2, mod_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+             bkt_ref, bvt_ref, bias_ref, cost_ref, sint_ref, fht_ref,
+             dmod_ref, dmod_off, dwqkv_ref, dbqkv_ref, dwout_ref, dbout_ref,
+             dbkt_ref, dbvt_ref, first, num_heads: int, head_dim: int,
+             pad_dim: int, channels: int):
+    """Frame-attention-stage backward on VALUES: X1 (R, C) bf16 and dX2
+    (R, C) f32 in, dx1 (R, C) f32 out."""
     C, H, D, Dp = channels, num_heads, head_dim, pad_dim
     Cp = H * Dp
-    R = x1_ref.shape[1]
+    R = X1.shape[0]
     TKt = cost_ref.shape[0]
     Tp = TKt - 8
     L = R // Tp
     halfp = D // 2
-    dt = x1_ref.dtype
-    first = pl.program_id(0) == 0
+    dt = X1.dtype
 
     fht = fht_ref[...]
-    X1 = x1_ref[0]
-    dX2 = dx2_ref[0].astype(jnp.float32)
 
     # ---- recompute forward ----
     h2, hh, rstd, sc = _modln_fwd(X1, mod_ref, 3, dt)
@@ -303,38 +314,51 @@ def _k2(x1_ref, dx2_ref, mod_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
     dh2 = _mm(dqkv, wqkv_ref[...], 1, 1)         # (R, C) f32
 
     dx_ln, dsh, dsc = _modln_bwd(dh2, hh, rstd, sc)
-    dmod_ref[0, 0:1, :] = dsh
-    dmod_ref[0, 1:2, :] = dsc
-    dmod_ref[0, 2:3, :] = dg
-    dx1_ref[0] = (dX2 + dx_ln).astype(dx1_ref.dtype)
+    dmod_ref[0, dmod_off:dmod_off + 1, :] = dsh
+    dmod_ref[0, dmod_off + 1:dmod_off + 2, :] = dsc
+    dmod_ref[0, dmod_off + 2:dmod_off + 3, :] = dg
+    return dX2 + dx_ln
+
+
+def _k2(x1_ref, dx2_ref, mod_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+        bkt_ref, bvt_ref, bias_ref, cost_ref, sint_ref, fht_ref,
+        dx1_ref, dmod_ref, dwqkv_ref, dbqkv_ref, dwout_ref, dbout_ref,
+        dbkt_ref, dbvt_ref, *, num_heads: int, head_dim: int, pad_dim: int,
+        channels: int):
+    first = pl.program_id(0) == 0
+    dx1 = _k2_core(x1_ref[0], dx2_ref[0].astype(jnp.float32), mod_ref,
+                   wqkv_ref, bqkv_ref, wout_ref, bout_ref, bkt_ref, bvt_ref,
+                   bias_ref, cost_ref, sint_ref, fht_ref,
+                   dmod_ref, 0, dwqkv_ref, dbqkv_ref, dwout_ref, dbout_ref,
+                   dbkt_ref, dbvt_ref, first, num_heads, head_dim, pad_dim,
+                   channels)
+    dx1_ref[0] = dx1.astype(dx1_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
 # stage 1 (residue attention) backward kernel
 # ---------------------------------------------------------------------------
 
-def _k1(x_ref, dx1_ref, mod_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
-        bkl_ref, bvl_ref, bias_ref, cosr_ref, sinr_ref, fh_ref, s_ref, st_ref,
-        dx_ref, dmod_ref, dwqkv_ref, dbqkv_ref, dwout_ref, dbout_ref,
-        dbkl_ref, dbvl_ref, *, num_heads: int, head_dim: int, channels: int):
+def _k1_core(X, dX1, mod_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+             bkl_ref, bvl_ref, bias_ref, cosr_ref, sinr_ref, fh_ref, s_ref,
+             st_ref, dmod_ref, dmod_off, dwqkv_ref, dbqkv_ref, dwout_ref,
+             dbout_ref, dbkl_ref, dbvl_ref, first, num_heads: int,
+             head_dim: int, channels: int, Tp: int):
+    """Residue-attention-stage backward on VALUES: stacked X (R, C) bf16 and
+    dX1 (R, C) f32 in, dX (R, C) f32 out (caller unstacks to trunk
+    layout)."""
     C, H, D = channels, num_heads, head_dim
-    Tp = x_ref.shape[1]
-    LC = x_ref.shape[2]
-    L = LC // C
+    R = X.shape[0]
+    L = R // Tp
     J = L + 1
-    R = L * Tp
     half = D // 2
-    dt = x_ref.dtype
-    first = pl.program_id(0) == 0
+    dt = X.dtype
 
     fh = fh_ref[...]
     S = s_ref[...]          # (C, H) f32
     St = st_ref[...]        # (H, C) f32
     Sd = S.astype(dt)
     Std = St.astype(dt)
-
-    X = _restack(x_ref[0], L, C)           # (R, C)
-    dX1 = dx1_ref[0].astype(jnp.float32)
 
     def rot(x32):
         take_right = pltpu.roll(x32, C - half, 1)
@@ -441,12 +465,77 @@ def _k1(x_ref, dx1_ref, mod_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
     dh1 = _mm(dqkv, wqkv_ref[...], 1, 1)  # (R, C)
 
     dx_ln, dsh, dsc = _modln_bwd(dh1, hh, rstd, sc)
-    dmod_ref[0, 0:1, :] = dsh
-    dmod_ref[0, 1:2, :] = dsc
-    dmod_ref[0, 2:3, :] = dg
-    dX = dX1 + dx_ln
+    dmod_ref[0, dmod_off:dmod_off + 1, :] = dsh
+    dmod_ref[0, dmod_off + 1:dmod_off + 2, :] = dsc
+    dmod_ref[0, dmod_off + 2:dmod_off + 3, :] = dg
+    return dX1 + dx_ln
+
+
+def _k1(x_ref, dx1_ref, mod_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+        bkl_ref, bvl_ref, bias_ref, cosr_ref, sinr_ref, fh_ref, s_ref, st_ref,
+        dx_ref, dmod_ref, dwqkv_ref, dbqkv_ref, dwout_ref, dbout_ref,
+        dbkl_ref, dbvl_ref, *, num_heads: int, head_dim: int, channels: int):
+    C = channels
+    Tp = x_ref.shape[1]
+    L = x_ref.shape[2] // C
+    first = pl.program_id(0) == 0
+    X = _restack(x_ref[0], L, C)           # (R, C)
+    dX = _k1_core(X, dx1_ref[0].astype(jnp.float32), mod_ref, wqkv_ref,
+                  bqkv_ref, wout_ref, bout_ref, bkl_ref, bvl_ref, bias_ref,
+                  cosr_ref, sinr_ref, fh_ref, s_ref, st_ref,
+                  dmod_ref, 0, dwqkv_ref, dbqkv_ref, dwout_ref, dbout_ref,
+                  dbkl_ref, dbvl_ref, first, num_heads, head_dim, channels,
+                  Tp)
     for r in range(L):
-        dx_ref[0, :, r * C:(r + 1) * C] = blk(dX, r).astype(dx_ref.dtype)
+        dx_ref[0, :, r * C:(r + 1) * C] = dX[r * Tp:(r + 1) * Tp].astype(dx_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# merged whole-layer backward (VERDICT r4 item 4): one pallas_call per layer
+# runs MLP -> frame-attn -> residue-attn cores back to back; the inter-stage
+# dx cotangents stay in VMEM as VALUES instead of round-tripping (B, R, C)
+# f32 surfaces through HBM twice per layer, and Mosaic can overlap one
+# stage's compute with the next stage's weight DMA.
+# ---------------------------------------------------------------------------
+
+def _kmerged(x_ref, x1s_ref, x2s_ref, grad_ref, mod_ref,
+             w1_ref, b1_ref, w2_ref, b2_ref,
+             wqkv_t_ref, bqkv_t_ref, wout_t_ref, bout_t_ref,
+             bkt_ref, bvt_ref, bias_t_ref, cost_ref, sint_ref, fht_ref,
+             wqkv_l_ref, bqkv_l_ref, wout_l_ref, bout_l_ref,
+             bkl_ref, bvl_ref, bias_l_ref, cosr_ref, sinr_ref, fh_ref,
+             s_ref, st_ref,
+             dx_ref, dmod_ref,
+             dw1_ref, db1_ref, dw2_ref, db2_ref,
+             dwqkv_t_ref, dbqkv_t_ref, dwout_t_ref, dbout_t_ref,
+             dbkt_ref, dbvt_ref,
+             dwqkv_l_ref, dbqkv_l_ref, dwout_l_ref, dbout_l_ref,
+             dbkl_ref, dbvl_ref, *,
+             num_heads: int, head_dim: int, pad_dim: int, channels: int):
+    C = channels
+    Tp = x_ref.shape[1]
+    L = x_ref.shape[2] // C
+    first = pl.program_id(0) == 0
+
+    dOUT = _restack(grad_ref[0], L, C).astype(jnp.float32)   # (R, C)
+    dx2 = _k3_core(x2s_ref[0], dOUT, mod_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                   dmod_ref, 6, dw1_ref, db1_ref, dw2_ref, db2_ref,
+                   first, channels)
+    dx1 = _k2_core(x1s_ref[0], dx2, mod_ref, wqkv_t_ref, bqkv_t_ref,
+                   wout_t_ref, bout_t_ref, bkt_ref, bvt_ref, bias_t_ref,
+                   cost_ref, sint_ref, fht_ref,
+                   dmod_ref, 3, dwqkv_t_ref, dbqkv_t_ref, dwout_t_ref,
+                   dbout_t_ref, dbkt_ref, dbvt_ref, first, num_heads,
+                   head_dim, pad_dim, channels)
+    X = _restack(x_ref[0], L, C)
+    dX = _k1_core(X, dx1, mod_ref, wqkv_l_ref, bqkv_l_ref, wout_l_ref,
+                  bout_l_ref, bkl_ref, bvl_ref, bias_l_ref, cosr_ref,
+                  sinr_ref, fh_ref, s_ref, st_ref,
+                  dmod_ref, 0, dwqkv_l_ref, dbqkv_l_ref, dwout_l_ref,
+                  dbout_l_ref, dbkl_ref, dbvl_ref, first, num_heads,
+                  head_dim, channels, Tp)
+    for r in range(L):
+        dx_ref[0, :, r * C:(r + 1) * C] = dX[r * Tp:(r + 1) * Tp].astype(dx_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -542,6 +631,88 @@ def fused_layer_bwd(x, mod, wqkv_l, bqkv_l, wout_l, bout_l, wqkv_t, bqkv_t,
     S = jnp.asarray(s_np, f32)
 
     mod9 = mod.reshape(B, 9, C)
+
+    import os
+
+    # merged whole-layer backward (VERDICT r4 item 4): MEASURED DEAD-END —
+    # bitwise-equal to the split kernels (tests/test_fused_layer_bwd.py::
+    # test_fused_bwd_merged_matches_split) but 27.26 vs 23.86 ms/train-step
+    # at B=32/T=100 (r5, same session): one program holding all three
+    # stages' weights + f32 grad accumulators + live surfaces costs Mosaic
+    # more in scheduling/pipelining than the ~0.5 ms of inter-stage dx HBM
+    # round-trips it saves. Kept behind MDGEN_FUSED_BWD=merged for A/B.
+    if os.environ.get("MDGEN_FUSED_BWD", "") == "merged":
+        f32s = jax.ShapeDtypeStruct
+        merged_out = pl.pallas_call(
+            functools.partial(_kmerged, num_heads=H, head_dim=D, pad_dim=Dp,
+                              channels=C),
+            grid=(B,),
+            in_specs=[_bat((Tp, LC)), _bat((R, C)), _bat((R, C)),
+                      _bat((Tp, LC)), _bat((9, C)),
+                      _rep((C, F)), _rep((1, F)), _rep((F, C)), _rep((1, C)),
+                      _rep((C, 3 * Cp)), _rep((1, 3 * Cp)), _rep((Cp, C)),
+                      _rep((1, C)), _rep((1, Cp)), _rep((1, Cp)),
+                      _bat((L, TKt)), _rep((TKt, Cp)), _rep((TKt, Cp)),
+                      _rep((1, Cp)),
+                      _rep((C, 3 * C)), _rep((1, 3 * C)), _rep((C, C)),
+                      _rep((1, C)), _rep((1, C)), _rep((1, C)),
+                      _bat((Tp, J)), _rep((J, 1, C)), _rep((J, 1, C)),
+                      _rep((1, C)), _rep((C, H)), _rep((H, C))],
+            out_specs=[_bat((Tp, LC)), _bat((9, C)),
+                       _rep((C, F)), _rep((1, F)), _rep((F, C)), _rep((1, C)),
+                       _rep((C, 3 * Cp)), _rep((1, 3 * Cp)), _rep((Cp, C)),
+                       _rep((1, C)), _rep((1, Cp)), _rep((1, Cp)),
+                       _rep((C, 3 * C)), _rep((1, 3 * C)), _rep((C, C)),
+                       _rep((1, C)), _rep((1, C)), _rep((1, C))],
+            out_shape=[f32s((B, Tp, LC), dt), f32s((B, 9, C), f32),
+                       f32s((C, F), f32), f32s((1, F), f32),
+                       f32s((F, C), f32), f32s((1, C), f32),
+                       f32s((C, 3 * Cp), f32), f32s((1, 3 * Cp), f32),
+                       f32s((Cp, C), f32), f32s((1, C), f32),
+                       f32s((1, Cp), f32), f32s((1, Cp), f32),
+                       f32s((C, 3 * C), f32), f32s((1, 3 * C), f32),
+                       f32s((C, C), f32), f32s((1, C), f32),
+                       f32s((1, C), f32), f32s((1, C), f32)],
+            interpret=interpret,
+            compiler_params=_VMEM_CAP,
+        )(x, x1s, x2s, grad, mod9,
+          w1, b1.reshape(1, F), w2, b2.reshape(1, C),
+          wqkv_t_p, bqkv_t_p, wout_t_p, bout_t.reshape(1, C),
+          bkt_p.astype(dt), bvt_p.astype(dt), bias_t, cost, sint, fht,
+          wqkv_l, bqkv_l.reshape(1, 3 * C), wout_l, bout_l.reshape(1, C),
+          bkl.reshape(1, C).astype(dt), bvl.reshape(1, C).astype(dt),
+          bias_l, cosr, sinr, fh, S, S.T)
+        (dx, dmod, dw1, db1, dw2, db2,
+         dwqkv_t_p, dbqkv_t_p, dwout_t_p, dbout_t, dbkt_p, dbvt_p,
+         dwqkv_l, dbqkv_l, dwout_l, dbout_l, dbkl, dbvl) = merged_out
+
+        def unpad_w(a, parts, axis):
+            if Dp == D:
+                return a
+            a = a.reshape(parts)
+            idx = [slice(None)] * a.ndim
+            idx[axis] = slice(0, D)
+            return a[tuple(idx)]
+
+        dwqkv_t = unpad_w(dwqkv_t_p, (C, 3, H, Dp), 3).reshape(C, 3 * C)
+        dbqkv_t = unpad_w(dbqkv_t_p.reshape(-1), (3, H, Dp), 2).reshape(-1)
+        dwout_t = unpad_w(dwout_t_p, (H, Dp, C), 1).reshape(C, C)
+        dbkt = unpad_w(dbkt_p.reshape(-1), (H, Dp), 1).reshape(-1)
+        dbvt = unpad_w(dbvt_p.reshape(-1), (H, Dp), 1).reshape(-1)
+
+        def shape_like(g, ref):
+            return g.reshape(jnp.shape(ref)).astype(ref.dtype)
+
+        return (dx.astype(dt),
+                shape_like(dmod, mod),
+                shape_like(dwqkv_l, wqkv_l), shape_like(dbqkv_l, bqkv_l),
+                shape_like(dwout_l, wout_l), shape_like(dbout_l, bout_l),
+                shape_like(dwqkv_t, wqkv_t), shape_like(dbqkv_t, bqkv_t),
+                shape_like(dwout_t, wout_t), shape_like(dbout_t, bout_t),
+                shape_like(dw1, w1), shape_like(db1, b1),
+                shape_like(dw2, w2), shape_like(db2, b2),
+                shape_like(dbkl, bkl), shape_like(dbvl, bvl),
+                shape_like(dbkt, bkt), shape_like(dbvt, bvt))
 
     # --- K3: MLP stage ---
     k3_out = pl.pallas_call(

@@ -76,7 +76,11 @@ class Trainer:
         x = jnp.concatenate(
             [prep["latents"], jnp.zeros((*prep["latents"].shape[:-1], 20))], -1
         ) if self.cfg.task.design else prep["latents"]
-        params = self.model.init(
+        # jit the flax init: eager init dispatches hundreds of tiny ops
+        # through the execution relay (~0.5-1 s each on a slow relay day —
+        # minutes-to-hours at flagship width); one jitted call compiles in
+        # ~30 s and runs in ms (CLAUDE.md environment gotcha)
+        params = jax.jit(self.model.init)(
             rng, x, jnp.zeros((B,)), kw["mask"],
             start_frames=kw.get("start_frames"), end_frames=kw.get("end_frames"),
             x_cond=kw["x_cond"], x_cond_mask=kw["x_cond_mask"], aatype=kw["aatype"],

@@ -77,3 +77,32 @@ def test_grads_flow():
     for gr in grads:
         assert np.isfinite(np.asarray(gr)).all()
         assert float(jnp.abs(gr).max()) > 0
+
+
+def test_pallas_bwd_matches_xla_vjp():
+    """The fused Pallas backward (r5) must match the XLA-composition VJP at
+    f32 working precision, including pad-row neutrality (N not a multiple
+    of the row block)."""
+    from mdgen_finetune_tpu.ops.adaln_mlp import _pallas_bwd, _xla_impl
+
+    rng = np.random.default_rng(3)
+    B, N, C = 2, 37, 128  # N=37: forces row padding in the kernel
+    x = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+    sh = jnp.asarray(rng.normal(size=(B, C)) * 0.3, jnp.float32)
+    sc = jnp.asarray(rng.normal(size=(B, C)) * 0.3, jnp.float32)
+    g = jnp.asarray(rng.normal(size=(B, C)) * 0.5, jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(C, 4 * C)) * C ** -0.5, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(4 * C,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(4 * C, C)) * C ** -0.5, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(C,)) * 0.1, jnp.float32)
+    grad = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+
+    _, vjp = jax.vjp(_xla_impl, x, sh, sc, g, w1, b1, w2, b2)
+    want = vjp(grad)
+    got = _pallas_bwd(x, sh, sc, g, w1, b1, w2, b2, grad,
+                      interpret=True, block_rows=32)
+    names = ["dx", "dsh", "dsc", "dg", "dw1", "db1", "dw2", "db2"]
+    for nm, gw, gg in zip(names, want, got):
+        gw, gg = np.asarray(gw, np.float64), np.asarray(gg, np.float64)
+        denom = max(np.abs(gw).max(), 1e-8)
+        assert np.abs(gg - gw).max() / denom < 5e-6, nm

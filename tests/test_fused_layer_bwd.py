@@ -90,3 +90,23 @@ def test_fused_bwd_pad_rows_zero():
         denom = max(np.abs(gt).max(), 1e-6)
         err = np.abs(np.asarray(gp, np.float64) - gt).max() / denom
         assert err < 0.08, f"{k}: err {err:.4f} at non-multiple-of-8 T"
+
+
+def test_fused_bwd_merged_matches_split():
+    """The merged whole-layer backward (one pallas_call: MLP -> frame-attn ->
+    residue-attn cores with VMEM-resident inter-stage cotangents; a measured
+    perf dead-end kept behind MDGEN_FUSED_BWD=merged — see the module note)
+    must reproduce the three-stage-kernel backward exactly — same cores,
+    same f32 accumulation order, only the dx HBM round-trips removed."""
+    B, T, L, C, H = 2, 12, 4, 192, 8  # D=24: the lane-padded stage-2 layout
+    vals, mask, w_out = _make(B, T, L, C, seed=7)
+    g_split = _grads(vals, mask, w_out, H, T, L, jnp.bfloat16, "pallas")
+    os.environ["MDGEN_FUSED_BWD"] = "merged"
+    try:
+        g_merged = _grads(vals, mask, w_out, H, T, L, jnp.bfloat16, "pallas")
+    finally:
+        del os.environ["MDGEN_FUSED_BWD"]
+    for k, gm, gs in zip(NAMES, g_merged, g_split):
+        np.testing.assert_allclose(np.asarray(gm, np.float32),
+                                   np.asarray(gs, np.float32), rtol=0, atol=0,
+                                   err_msg=k)
