@@ -149,9 +149,43 @@ def main():
                 "step_ms": round(step_ms, 4),
                 "trunk_matmul_floor_ms": round(floor_ms, 3),
                 "padded_mfu": round(floor_ms / step_ms, 3),
+                "chip_calibration_tflops": round(_chip_calibration_tflops(), 1),
             }
         )
     )
+
+
+def _chip_calibration_tflops():
+    """Fixed bf16 matmul-chain probe (2048^3, 64 dependent matmul pairs):
+    a chip/session-state fingerprint recorded with every bench capture so
+    across-session spread (~2.5% observed r3-r5 on identical code, PERF.md
+    r5) can be attributed to chip state vs code. Compare ONLY against other
+    sessions' values of this same field (r5: 95.6)."""
+    rng = np.random.default_rng(7)
+    M = K = N = 2048
+    chain, iters = 32, 4
+    a = jnp.asarray(rng.normal(size=(M, K)), jnp.bfloat16)
+    w1 = jnp.asarray(rng.normal(size=(K, N)) * 0.02, jnp.bfloat16)
+    w2 = jnp.asarray(rng.normal(size=(N, K)) * 0.02, jnp.bfloat16)
+
+    @jax.jit
+    def chainf(a):
+        def body(x, _):
+            y = jax.lax.dot_general(x, w1, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            x = jax.lax.dot_general(y, w2, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            return x, ()
+        return jax.lax.scan(body, a, None, length=chain)[0]
+
+    chainf(a).block_until_ready()
+    xs = [jnp.asarray(rng.normal(size=(M, K)), jnp.bfloat16) for _ in range(iters)]
+    jax.block_until_ready(xs)
+    t0 = time.perf_counter()
+    outs = [chainf(x) for x in xs]
+    jax.block_until_ready(outs)
+    dt = (time.perf_counter() - t0) / iters
+    return 2 * 2 * M * K * N * chain / dt / 1e12
 
 
 def _atlas_forward_ms():

@@ -90,15 +90,47 @@ def main():
         ds = MDGenDataset(cfg, split)
         it = make_batch_iterator(ds, cfg.train.batch_size, seed=0)
         state = trainer.init_state(jax.random.key(0), next(it))
+        # resumable in 2,500-step legs: the TPU execution relay can wedge
+        # mid-run (observed r5 — a 20-min fit stalled at step 15k with the
+        # host pipeline still spinning); periodic saves turn a relay wedge
+        # into a bounded restart instead of a lost drive
+        import shutil
+
+        marker = os.path.join(args.outdir, f"{name}_part_step")
+        done0 = 0
+        if os.path.exists(marker):
+            with open(marker) as f:
+                done0 = int(f.read().strip())
+            state = trainer.restore_checkpoint(
+                os.path.join(args.outdir, f"{name}_ckpt_part_{done0}"), state)
+            print(f"[{name}] resumed at step {done0}", flush=True)
         hist = []
         t0 = time.time()
-        state = trainer.fit(state, it, steps, jax.random.key(1),
-                            log_every=max(1, steps // 8),
-                            log_fn=lambda m: (hist.append(m),
-                                              print(json.dumps(m), flush=True)))
+        leg = 2500
+        done = done0
+        rng_fit = jax.random.key(1)
+        while done < steps:
+            n = min(leg, steps - done)
+            rng_fit, k = jax.random.split(rng_fit)
+            state = trainer.fit(state, it, n, k,
+                                log_every=n,
+                                log_fn=lambda m: (hist.append(m),
+                                                  print(json.dumps(m), flush=True)))
+            prev = os.path.join(args.outdir, f"{name}_ckpt_part_{done}")
+            done += n
+            trainer.save_checkpoint(
+                state, os.path.join(args.outdir, f"{name}_ckpt_part_{done}"))
+            with open(marker, "w") as f:
+                f.write(str(done))
+            shutil.rmtree(prev, ignore_errors=True)
         summary[f"{name}_train_s"] = round(time.time() - t0, 1)
-        summary[f"{name}_loss_first"] = hist[0]["loss"]
-        summary[f"{name}_loss_last"] = hist[-1]["loss"]
+        summary[f"{name}_loss_first"] = hist[0]["loss"] if hist else None
+        summary[f"{name}_loss_last"] = hist[-1]["loss"] if hist else None
+        summary[f"{name}_resumed_at"] = done0
+        shutil.rmtree(os.path.join(args.outdir, f"{name}_ckpt_part_{done}"),
+                      ignore_errors=True)
+        if os.path.exists(marker):
+            os.remove(marker)
         return trainer.save_checkpoint(state, os.path.join(args.outdir, f"{name}_ckpt"))
 
     # ---- 1. TPS ----
