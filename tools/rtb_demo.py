@@ -104,11 +104,12 @@ def main():
     split = make_synthetic_dataset(data_dir, ["AGHK", "LVSE"], num_frames=nframes)
     cfg = MDGenConfig(
         model=ModelConfig(prepend_ipa=True, abs_pos_emb=True, use_bf16=not args.tiny,
-                          **model_kw),
+                          grad_checkpointing=(T >= 500), **model_kw),
         transport=TransportConfig(sampling_method="euler", inference_steps=inference_steps),
         data=DataConfig(data_dir=data_dir, num_frames=T, crop=4),
         task=TaskConfig(sim_condition=True),
-        train=TrainConfig(batch_size=4 if args.tiny else 16, lr=1e-3),
+        train=TrainConfig(batch_size=4 if args.tiny else (8 if T >= 500 else 16),
+                          lr=1e-3),
     )
 
     # ---- 1. pretrain the prior ----
