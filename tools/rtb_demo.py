@@ -108,8 +108,10 @@ def main():
         transport=TransportConfig(sampling_method="euler", inference_steps=inference_steps),
         data=DataConfig(data_dir=data_dir, num_frames=T, crop=4),
         task=TaskConfig(sim_condition=True),
+        # lr 1e-3 DIVERGES the T=1000 pretrain (grad_norm ~2e13 by step
+        # 500, measured r5); long-T runs use the conservative rate
         train=TrainConfig(batch_size=4 if args.tiny else (8 if T >= 500 else 16),
-                          lr=1e-3),
+                          lr=3e-4 if T >= 500 else 1e-3),
     )
 
     # ---- 1. pretrain the prior ----
