@@ -620,6 +620,7 @@ class LatentMDGen(nn.Module):
         ode_dt=None,
         t_emb=None,
         enc=None,
+        mods=None,
     ):
         cfg = self.cfg
         task = cfg.task
@@ -633,7 +634,8 @@ class LatentMDGen(nn.Module):
             # PERF.md r3)
             return self._flat_call(x, t, mask, scan_consts, trunk_pack,
                                    start_frames, end_frames, aatype,
-                                   ode_dt=ode_dt, t_emb=t_emb, enc=enc)
+                                   ode_dt=ode_dt, t_emb=t_emb, enc=enc,
+                                   mods=mods)
         if task.dynamic_mpnn:
             sel = jnp.array([0, x.shape[1] - 1])
             x, x_cond, x_cond_mask, mask = x[:, sel], x_cond[:, sel], x_cond_mask[:, sel], mask[:, sel]
@@ -748,7 +750,7 @@ class LatentMDGen(nn.Module):
 
     def _flat_call(self, x, t, mask, scan_consts, trunk_pack,
                    start_frames, end_frames, aatype, ode_dt=None, t_emb=None,
-                   enc=None):
+                   enc=None, mods=None):
         """Fast-path body: trunk-layout x in, trunk-layout velocity out —
         or, with ``ode_dt``, the euler-updated carry ``x + dt * v`` directly
         (the embed stage AND the update are folded into the trunk kernel, so
@@ -766,29 +768,55 @@ class LatentMDGen(nn.Module):
         wmods, bmods, ws, fin, encp = pack[:5]
         big = pack[5] if len(pack) > 5 else None
         NL = len(self.layers)
-        if t_emb is None:
-            t_emb = self.t_embedder(t * cfg.model.time_multiplier).astype(self.dtype)
-        se = nn.silu(t_emb).astype(self.dtype)
-        # one matmul for every per-step AdaLN row: trunk layers + FinalLayer
-        # + the encoder layers (columns concatenated in make_trunk_pack);
-        # with a precomputed ``enc`` (encode_steps) only the trunk columns run
-        enc_mods = None
-        if big is not None and cfg.model.prepend_ipa and enc is None:
-            wbig, bbig, ncut = big
-            mall = se @ wbig + bbig
-            mods_all, enc_mods = mall[:, :ncut], mall[:, ncut:]
+        if mods is not None:
+            # whole-t-grid AdaLN precompute (embed_mods): the per-step
+            # silu + mods matmul disappears from the scan entirely — the
+            # r5 change that put the chain at the kernel-only floor
+            assert enc is not None or not cfg.model.prepend_ipa, \
+                "mods= precompute requires enc= (encode_steps) with prepend_ipa"
+            mods_all = mods
         else:
-            mods_all = se @ wmods + bmods
-        if enc is None and cfg.model.prepend_ipa:
-            enc = self.run_ipa(t_emb, mask[:, 0], start_frames, end_frames,
-                               aatype, enc_pack=encp, enc_mods=enc_mods,
-                               tokens=tokens)
+            if t_emb is None:
+                t_emb = self.t_embedder(t * cfg.model.time_multiplier).astype(self.dtype)
+            se = nn.silu(t_emb).astype(self.dtype)
+            # one matmul for every per-step AdaLN row: trunk layers +
+            # FinalLayer + the encoder layers (columns concatenated in
+            # make_trunk_pack); with a precomputed ``enc`` (encode_steps)
+            # only the trunk columns run
+            enc_mods = None
+            if big is not None and cfg.model.prepend_ipa and enc is None:
+                wbig, bbig, ncut = big
+                mall = se @ wbig + bbig
+                mods_all, enc_mods = mall[:, :ncut], mall[:, ncut:]
+            else:
+                mods_all = se @ wmods + bmods
+            if enc is None and cfg.model.prepend_ipa:
+                enc = self.run_ipa(t_emb, mask[:, 0], start_frames, end_frames,
+                                   aatype, enc_pack=encp, enc_mods=enc_mods,
+                                   tokens=tokens)
         mods = mods_all[:, :NL * 9 * C]
         modf = mods_all[:, NL * 9 * C:]
         return fused_trunk(x, mods, ws, mask, num_heads=cfg.model.mha_heads,
                            tl=(T, L), final=(modf, *fin),
                            embed=(wlat_p, const_add, enc),
                            step_dt=ode_dt, biases=biases)  # (B, Tp, L*P) f32
+
+    def embed_mods(self, t_embs, trunk_pack=None):
+        """Whole-t-grid AdaLN precompute: ``t_embs`` (S, B, C) from
+        embed_times -> (S, B, NL*9*C + 2C) trunk+FinalLayer modulation rows,
+        fed per step through scan xs (``mods=``). Removes the per-step
+        silu + (B, C) @ (C, ~19k C) matmul from the sampling chain — with
+        encode_steps this makes each euler step exactly ONE pallas_call
+        (measured r5: the frozen-xs chain runs 1.4% faster than the
+        per-step-mods chain; this captures that gap for the real sampler).
+        ~250 MB bf16 at S=100/B=64 — scan xs slices stream it from HBM at
+        ~3 us/step."""
+        pack = trunk_pack if trunk_pack is not None else self.make_trunk_pack()
+        wmods, bmods = pack[0], pack[1]
+        Sn, B, C = t_embs.shape
+        se = nn.silu(t_embs.reshape(Sn * B, C)).astype(self.dtype)
+        mall = se @ wmods + bmods
+        return mall.reshape(Sn, B, mall.shape[-1])
 
     def encode_steps(self, ts, mask, scan_consts, trunk_pack,
                      start_frames=None, end_frames=None, aatype=None):

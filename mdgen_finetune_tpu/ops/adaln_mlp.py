@@ -20,6 +20,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 _EPS = 1e-6
 
@@ -254,6 +255,11 @@ def _pallas_bwd(x, sh, sc, g, w1, b1, w2, b2, grad,
                    jax.ShapeDtypeStruct((F, C), f32),
                    jax.ShapeDtypeStruct((1, C), f32)],
         interpret=interpret,
+        # the recompute + grad surfaces exceed the default 16M scoped-vmem
+        # cap at block_rows=512 (measured: 16.9M needed at C=384) — same
+        # raise as ops/fused_layer_bwd._VMEM_CAP
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
     )(x, sh.reshape(B, 1, C), sc.reshape(B, 1, C), g.reshape(B, 1, C),
       w1, b1.reshape(1, F), w2, b2.reshape(1, C), grad)
     dx, dsh, dsc, dg, dw1, db1, dw2, db2 = outs
