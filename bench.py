@@ -118,6 +118,12 @@ def main():
     # (measured: 4 -> 8 -> 12 chains = 9,646 / 9,792 / 9,835 steps/s —
     # converging to the device-limit 1/span).
     n_calls, n_regions = 10, 5
+    # one UNTIMED warmup region: the first region after compile consistently
+    # reads ~1% low (cold relay/chip state — r5s2: 9,915 vs 10,016-10,019
+    # for regions 2-5) and would otherwise drag the reported min/spread
+    warm = [euler_chain(params, jnp.asarray(rng.normal(size=x.shape), jnp.float32))
+            for _ in range(2)]
+    jax.block_until_ready(warm)
     region_rates = []
     for _ in range(n_regions):
         xs = [jnp.asarray(rng.normal(size=x.shape), jnp.float32) for _ in range(n_calls)]

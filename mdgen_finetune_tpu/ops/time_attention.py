@@ -410,7 +410,7 @@ def _block_kernel_blocked(x_ref, sh_ref, sc_ref, g_ref, wqkv_ref, bqkv_ref,
                           wout_ref, bout_ref, bk_ref, bv_ref, bias_ref,
                           cos_ref, sin_ref, fh_ref, o_ref, *,
                           num_heads: int, head_dim: int, tq: int, kq: int,
-                          pad_dim: int = 0):
+                          pad_dim: int = 0, probes: str = ""):
     """Blocked whole-BLOCK variant for long T / large L: grid (B, L), one
     (batch element, residue) per program — LN (f32 lane stats) + AdaLN
     modulate + qkv projection (weights resident in VMEM) + RoPE + full-K/V
@@ -453,6 +453,8 @@ def _block_kernel_blocked(x_ref, sh_ref, sc_ref, g_ref, wqkv_ref, bqkv_ref,
         return -take_right * fh + take_left * (1 - fh)
 
     def rope(x, n0, n):
+        if "R" in probes:  # perf probe: rope cost (wrong values)
+            return x
         cos = cos_ref[pl.ds(n0, n)].astype(jnp.float32)
         sin = sin_ref[pl.ds(n0, n)].astype(jnp.float32)
         x32 = x.astype(jnp.float32)
@@ -461,10 +463,13 @@ def _block_kernel_blocked(x_ref, sh_ref, sc_ref, g_ref, wqkv_ref, bqkv_ref,
     x = x_ref[0, 0] if rank4 else x_ref[0]  # (Tp2, C)
     dt = x.dtype
     x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=1, keepdims=True)
-    var = jnp.mean(x32 * x32, axis=1, keepdims=True) - mean * mean
-    h = (x32 - mean) * jax.lax.rsqrt(var + _LN_EPS)
-    h = (h * (1.0 + sc) + sh).astype(dt)
+    if "l" in probes:  # perf probe: LN lane-stats cost (wrong values)
+        h = (x32 * (1.0 + sc) + sh).astype(dt)
+    else:
+        mean = jnp.mean(x32, axis=1, keepdims=True)
+        var = jnp.mean(x32 * x32, axis=1, keepdims=True) - mean * mean
+        h = (x32 - mean) * jax.lax.rsqrt(var + _LN_EPS)
+        h = (h * (1.0 + sc) + sh).astype(dt)
     qkv = (jax.lax.dot_general(
         h, wqkv, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ) + bqkv).astype(dt)  # (Tp2, 3Cp)
@@ -481,7 +486,8 @@ def _block_kernel_blocked(x_ref, sh_ref, sc_ref, g_ref, wqkv_ref, bqkv_ref,
     for i in range(Tp2 // tq):
         q_blk = rope(qkv[i * tq:(i + 1) * tq, :Cp], i * tq, tq)
         # base2: the block family's wqkv carries scale * LOG2E (module note)
-        att = _grouped_attend(q_blk, kbT, vb, bias, H, Dp, base2=True)
+        att = _grouped_attend(q_blk, kbT, vb, bias, H, Dp, base2=True,
+                              probes=probes)
         y = jax.lax.dot_general(
             att.astype(dt), wout, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -494,10 +500,11 @@ def _block_kernel_blocked(x_ref, sh_ref, sc_ref, g_ref, wqkv_ref, bqkv_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "T", "L", "interpret",
-                                              "t_logical"))
+                                              "t_logical", "probes"))
 def _block_pallas_fwd_blocked(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias_v,
                               key_valid, num_heads: int, T: int, L: int,
-                              interpret: bool = False, t_logical: int = None):
+                              interpret: bool = False, t_logical: int = None,
+                              probes: str = ""):
     # ``t_logical``: the REAL frame count when x arrives frame-padded
     # (padded-trunk modular routing, fused_layer r3s3) — frames
     # t_logical..T-1 are masked garbage (key_valid zeros) and the learned
@@ -572,7 +579,8 @@ def _block_pallas_fwd_blocked(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k, bias
 
     out = pl.pallas_call(
         functools.partial(_block_kernel_blocked, num_heads=num_heads, head_dim=D,
-                          tq=tq, kq=Tp, pad_dim=Dp if Dp != D else 0),
+                          tq=tq, kq=Tp, pad_dim=Dp if Dp != D else 0,
+                          probes=probes),
         grid=(B, L),
         in_specs=[
             pl.BlockSpec((1, Tp2, C), lambda b, r: (b, 0, r)),
@@ -682,10 +690,12 @@ def _tbb_bwd(num_heads, T, L, interpret, t_logical, res, grad):
 _time_block_pallas_blocked.defvjp(_tbb_fwd, _tbb_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "T", "L", "interpret"))
+@functools.partial(jax.jit, static_argnames=("num_heads", "T", "L", "interpret",
+                                              "probes"))
 def _block_pallas_fwd_blocked_rows(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k,
                                    bias_v, key_valid, num_heads: int, T: int,
-                                   L: int, interpret: bool = False):
+                                   L: int, interpret: bool = False,
+                                   probes: str = ""):
     """Transpose-free residue-stage routing for large L: the trunk layout
     (B, T*L, C) has each frame's L residue rows CONTIGUOUS (row t*L + l), so
     a free reshape to (B, T, L, C) + a rank-4 BlockSpec feeds the blocked
@@ -753,7 +763,8 @@ def _block_pallas_fwd_blocked_rows(x, sh, sc, g, wqkv, bqkv, wout, bout, bias_k,
 
     out = pl.pallas_call(
         functools.partial(_block_kernel_blocked, num_heads=num_heads, head_dim=D,
-                          tq=tq, kq=Lp, pad_dim=Dp if Dp != D else 0),
+                          tq=tq, kq=Lp, pad_dim=Dp if Dp != D else 0,
+                          probes=probes),
         grid=(B, T),
         in_specs=[
             pl.BlockSpec((1, 1, Lp2, C), lambda b, t: (b, t, 0, 0)),
